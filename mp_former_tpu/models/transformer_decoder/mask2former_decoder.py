@@ -1,0 +1,354 @@
+"""Mask2Former transformer decoder + MP-Former MaskDN variant (TPU-native).
+
+Rebuilds reference mask2former_transformer_decoder.py:
+- `MultiScaleMaskedTransformerDecoder` (:209-555): 9 layers round-robin over 3
+  scales, masked cross-attention from the previous layer's mask prediction,
+  learnable query_feat only, level embeds, per-layer aux outputs.
+- `MultiScaleMaskedTransformerDecoderMaskDN` (:558-1917): adds mask-piloted
+  (DN) training — extra query groups carrying (optionally class-flip-noised)
+  GT label embeddings whose cross-attention masks are (optionally point-flip
+  noised) area-downsampled GT masks, refreshed per layer (`gen_mask_dn`
+  :1584-1622), with a self-attn mask isolating groups (:1051-1059).
+- `MultiScaleMaskedTransformerDecoderMaskDNLYSmooth` (:1919-3281): MaskDN +
+  EMA smoothing of mask_embed across layers (r = LAST_Q_RATIO, :3226-3240).
+
+Static-shape DN design (SURVEY.md §7.9): the reference pads DN groups to the
+dynamic batch max GT count; here targets are pre-padded to a fixed cap N with
+a validity mask, so `pad_size = scalar * N` is static. Invalid slots carry
+zero content and fully-blocked attention rows — exactly the state the
+reference's unfilled padding rows are in — and are excluded from the DN loss
+by the validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...structures import DNArgs
+from ...utils.interp import resize
+from ...utils.registry import TRANSFORMER_DECODER_REGISTRY
+from .position_encoding import position_embedding_sine
+from .primitives import CrossAttentionLayer, FFNLayer, MLP, SelfAttentionLayer
+
+
+def build_transformer_decoder(cfg, in_channels, mask_classification=True):
+    """Registry dispatch (reference maskformer_transformer_decoder.py:22-27)."""
+    name = cfg.MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME
+    return TRANSFORMER_DECODER_REGISTRY.get(name).from_config(
+        cfg, in_channels, mask_classification)
+
+
+def _dn_tgt_mask(scalar: int, single_pad: int, num_queries: int) -> np.ndarray:
+    """(T, T) bool self-attn mask, True = blocked (reference :1051-1059)."""
+    pad = scalar * single_pad
+    t = pad + num_queries
+    m = np.zeros((t, t), dtype=bool)
+    m[pad:, :pad] = True  # match queries cannot see DN
+    for g in range(scalar):
+        m[g * single_pad:(g + 1) * single_pad, (g + 1) * single_pad:pad] = True
+        m[g * single_pad:(g + 1) * single_pad, :g * single_pad] = True
+    return m
+
+
+@TRANSFORMER_DECODER_REGISTRY.register()
+class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
+    in_channels: int
+    num_classes: int
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9  # reference from_config subtracts 1 from DEC_LAYERS
+    pre_norm: bool = False
+    mask_dim: int = 256
+    enforce_input_project: bool = False
+    mask_classification: bool = True
+    num_feature_levels: int = 3
+    # DN switches (reference :600-604, from_config :721-725)
+    dn_mode: str = "points"
+    head_dn: bool = False
+    all_lys: bool = False
+    dn_ratio: float = 0.5
+    dn_label_noise_ratio: float = -1.0
+    last_q_ratio: float = 0.0  # LYSmooth only
+    dtype: jnp.dtype = jnp.float32
+
+    # whether this class carries the label_enc embedding (MaskDN does)
+    has_label_enc: bool = True
+
+    @classmethod
+    def from_config(cls, cfg, in_channels, mask_classification=True):
+        return cls(
+            in_channels=in_channels,
+            mask_classification=mask_classification,
+            num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+            hidden_dim=cfg.MODEL.MASK_FORMER.HIDDEN_DIM,
+            num_queries=cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES,
+            nheads=cfg.MODEL.MASK_FORMER.NHEADS,
+            dim_feedforward=cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD,
+            dec_layers=cfg.MODEL.MASK_FORMER.DEC_LAYERS - 1,
+            pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
+            enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
+            mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
+            dn_mode=cfg.MODEL.MASK_FORMER.DN_MODE,
+            head_dn=cfg.MODEL.MASK_FORMER.HEAD_DN,
+            all_lys=cfg.MODEL.MASK_FORMER.ALL_LY_DN,
+            dn_ratio=cfg.MODEL.MASK_FORMER.DN_RATIO,
+            dn_label_noise_ratio=cfg.MODEL.MASK_FORMER.LB_NOISE_RATIO,
+            last_q_ratio=cfg.MODEL.MASK_FORMER.LAST_Q_RATIO,
+        )
+
+    # ------------------------------------------------------------------
+    @nn.compact
+    def __call__(
+        self,
+        x: List[jax.Array],               # 3 NHWC multi-scale features
+        mask_features: jax.Array,         # (B, H/4, W/4, mask_dim)
+        dn_args: Optional[DNArgs] = None,
+        *,
+        train: bool = False,
+    ):
+        assert len(x) == self.num_feature_levels
+        B = x[0].shape[0]
+        C = self.hidden_dim
+        heads = self.nheads
+
+        # ---- learnable tables -----------------------------------------
+        query_feat = self.param(
+            "query_feat", nn.initializers.normal(1.0), (self.num_queries, C))
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, C))
+        if self.has_label_enc:
+            label_enc = self.param(
+                "label_enc", nn.initializers.normal(1.0), (self.num_classes, C))
+
+        # ---- shared submodules (called repeatedly, params shared) -----
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
+        class_embed = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="class_embed")
+        mask_embed_mlp = MLP(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
+        cross_layers = [
+            CrossAttentionLayer(C, heads, 0.0, normalize_before=self.pre_norm,
+                                dtype=self.dtype, name=f"transformer_cross_attention_layers_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self_layers = [
+            SelfAttentionLayer(C, heads, 0.0, normalize_before=self.pre_norm,
+                               dtype=self.dtype, name=f"transformer_self_attention_layers_{i}")
+            for i in range(self.dec_layers)
+        ]
+        ffn_layers = [
+            FFNLayer(C, self.dim_feedforward, 0.0, normalize_before=self.pre_norm,
+                     dtype=self.dtype, name=f"transformer_ffn_layers_{i}")
+            for i in range(self.dec_layers)
+        ]
+
+        # ---- flatten sources + PE + level embed (reference :1716-1723) -
+        src, pos, size_list = [], [], []
+        for i, xi in enumerate(x):
+            h, w = xi.shape[1], xi.shape[2]
+            size_list.append((h, w))
+            pe = position_embedding_sine(h, w, C // 2, dtype=self.dtype)
+            pos.append(jnp.broadcast_to(
+                pe.reshape(1, h * w, C), (B, h * w, C)))
+            s = xi.astype(self.dtype)
+            if self.in_channels != C or self.enforce_input_project:
+                s = nn.Conv(C, (1, 1), dtype=self.dtype,
+                            kernel_init=nn.initializers.xavier_uniform(),
+                            name=f"input_proj_{i}")(s)
+            src.append(s.reshape(B, h * w, C) + level_embed[i][None, None])
+
+        # ---- prediction heads closure (reference :1859-1877) ----------
+        last_memb = [None]  # LYSmooth state across layers
+
+        def forward_prediction_heads(output, attn_mask_target_size):
+            dec = decoder_norm(output)
+            outputs_class = class_embed(dec)
+            memb = mask_embed_mlp(dec)
+            if self.last_q_ratio > 0.0 and last_memb[0] is not None:
+                # LYSmooth EMA (reference :3226-3228)
+                memb = self.last_q_ratio * last_memb[0] + (1.0 - self.last_q_ratio) * memb
+            if self.last_q_ratio > 0.0:
+                last_memb[0] = jax.lax.stop_gradient(memb)  # reference :3240
+            outputs_mask = jnp.einsum(
+                "bqc,bhwc->bqhw", memb, mask_features.astype(memb.dtype))
+            am = resize(outputs_mask, attn_mask_target_size, "bilinear")
+            am = jax.nn.sigmoid(am).reshape(B, 1, outputs_mask.shape[1], -1) < 0.5
+            am = jnp.broadcast_to(am, (B, heads) + am.shape[2:])
+            return outputs_class, outputs_mask, am
+
+        # ---- DN preparation ('points' mode, reference :968-1060) ------
+        use_dn = dn_args is not None and self.dn_mode in ("points",) \
+            and self.has_label_enc
+        tgt_mask = None
+        dn_meta = None
+        if use_dn:
+            targets = dn_args.targets
+            N = targets.num_instances
+            scalar = dn_args.scalar
+            if scalar >= 100:
+                scalar = max(1, scalar // N)
+            pad_size = scalar * N
+            noise_scale = dn_args.noise_scale
+
+            # pre-compute area-downsampled blocked masks per level
+            gt_masks = targets.masks.astype(jnp.float32)  # (B, N, H, W)
+            blocked_lvl = []
+            for (h, w) in size_list:
+                ds = resize(gt_masks, (h, w), "area").reshape(B, N, h * w)
+                blk = ds <= 1e-8
+                blk = jnp.where(targets.valid[:, :, None], blk, True)
+                blocked_lvl.append(blk)
+
+            def dn_padding_mask(level: int) -> jax.Array:
+                """(B, heads, pad_size, S_l) blocked mask with fresh point noise
+                (reference gen_mask_dn :1584-1622)."""
+                h, w = size_list[level]
+                s = h * w
+                blk = blocked_lvl[level]  # (B, N, S)
+                if self.head_dn:
+                    m = jnp.broadcast_to(
+                        blk[:, None, :, :], (B, scalar * heads, N, s)
+                    ).reshape(B, scalar, heads, N, s)
+                    if noise_scale > 0:
+                        areas = jnp.sum(~m, axis=-1)  # (B, scalar, heads, N)
+                        ratio = areas.astype(jnp.float32) * noise_scale / s
+                        delta = jax.random.uniform(
+                            self.make_rng("dn"), m.shape) < ratio[..., None]
+                        m = jnp.logical_xor(m, delta)
+                        m = jnp.where(targets.valid[:, None, None, :, None], m, True)
+                    # (B, scalar, heads, N, S) -> (B, heads, scalar*N, S)
+                    m = jnp.moveaxis(m, 2, 1).reshape(B, heads, pad_size, s)
+                    return m
+                m = jnp.broadcast_to(blk[:, None], (B, scalar, N, s))
+                if noise_scale > 0:
+                    areas = jnp.sum(~m, axis=-1)
+                    ratio = areas.astype(jnp.float32) * noise_scale / s
+                    delta = jax.random.uniform(
+                        self.make_rng("dn"), m.shape) < ratio[..., None]
+                    m = jnp.logical_xor(m, delta)
+                    m = jnp.where(targets.valid[:, None, :, None], m, True)
+                m = m.reshape(B, pad_size, s)
+                return jnp.broadcast_to(m[:, None], (B, heads, pad_size, s))
+
+            # label content with optional class-flip noise (reference :1004-1018)
+            labels = jnp.broadcast_to(
+                targets.labels[:, None, :], (B, scalar, N))
+            if self.dn_label_noise_ratio > 0:
+                kf, kl = jax.random.split(self.make_rng("dn"))
+                flip = jax.random.uniform(kf, labels.shape) < self.dn_label_noise_ratio
+                rand_lb = jax.random.randint(kl, labels.shape, 0, self.num_classes)
+                labels = jnp.where(flip, rand_lb, labels)
+            labels = jnp.clip(labels, 0, self.num_classes - 1)
+            content = jnp.asarray(label_enc)[labels]  # (B, scalar, N, C)
+            content = jnp.where(
+                targets.valid[:, None, :, None], content, 0.0
+            ).reshape(B, pad_size, C).astype(self.dtype)
+
+            output = jnp.concatenate(
+                [content,
+                 jnp.broadcast_to(query_feat[None], (B, self.num_queries, C)).astype(self.dtype)],
+                axis=1)
+            tgt_mask = jnp.asarray(_dn_tgt_mask(scalar, N, self.num_queries))
+            dn_meta = {"max_num": N, "pad_size": pad_size, "scalar": scalar}
+
+            outputs_class, outputs_mask, attn_mask = forward_prediction_heads(
+                output, size_list[0])
+            attn_mask = attn_mask.at[:, :, :pad_size].set(dn_padding_mask(0))
+        else:
+            output = jnp.broadcast_to(
+                query_feat[None], (B, self.num_queries, C)).astype(self.dtype)
+            outputs_class, outputs_mask, attn_mask = forward_prediction_heads(
+                output, size_list[0])
+
+        predictions_class = [outputs_class]
+        predictions_mask = [outputs_mask]
+
+        # ---- decoder layers (reference :1779-1826) ---------------------
+        for i in range(self.dec_layers):
+            level_index = i % self.num_feature_levels
+            # degenerate all-blocked rows attend everywhere (reference :1780)
+            all_blocked = jnp.all(attn_mask, axis=-1, keepdims=True)
+            attn_mask = jnp.logical_and(attn_mask, ~all_blocked)
+
+            output = cross_layers[i](
+                output, src[level_index], memory_mask=attn_mask,
+                pos=pos[level_index], query_pos=None, train=train)
+            output = self_layers[i](output, tgt_mask=tgt_mask, train=train)
+            output = ffn_layers[i](output, train=train)
+
+            level = (i + 1) % self.num_feature_levels
+            refresh = use_dn and (self.all_lys or i < 3)
+            outputs_class, outputs_mask, attn_mask = forward_prediction_heads(
+                output, size_list[level])
+            if refresh:
+                attn_mask = attn_mask.at[:, :, :pad_size].set(dn_padding_mask(level))
+            predictions_class.append(outputs_class)
+            predictions_mask.append(outputs_mask)
+
+        assert len(predictions_class) == self.dec_layers + 1
+
+        # ---- assemble outputs (reference :1831-1856) -------------------
+        if use_dn:
+            dn_cls = [p[:, :pad_size] for p in predictions_class]
+            dn_msk = [p[:, :pad_size] for p in predictions_mask]
+            predictions_class = [p[:, pad_size:] for p in predictions_class]
+            predictions_mask = [p[:, pad_size:] for p in predictions_mask]
+            dn_out = {
+                "pred_logits": dn_cls[-1],
+                "pred_masks": dn_msk[-1],
+                "aux_outputs": [
+                    {"pred_logits": a, "pred_masks": b}
+                    for a, b in zip(dn_cls[:-1], dn_msk[:-1])
+                ],
+                "dn_args": dn_meta,
+            }
+        else:
+            dn_out = None
+
+        return {
+            "pred_logits": predictions_class[-1],
+            "pred_masks": predictions_mask[-1],
+            "aux_outputs": [
+                {"pred_logits": a, "pred_masks": b}
+                for a, b in zip(predictions_class[:-1], predictions_mask[:-1])
+            ],
+            "dn_out": dn_out,
+        }
+
+
+@TRANSFORMER_DECODER_REGISTRY.register()
+class MultiScaleMaskedTransformerDecoder(MultiScaleMaskedTransformerDecoderMaskDN):
+    """Vanilla Mask2Former decoder (reference :209-555) — no DN machinery."""
+
+    has_label_enc: bool = False
+    dn_mode: str = "none"
+
+    @classmethod
+    def from_config(cls, cfg, in_channels, mask_classification=True):
+        return cls(
+            in_channels=in_channels,
+            mask_classification=mask_classification,
+            num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+            hidden_dim=cfg.MODEL.MASK_FORMER.HIDDEN_DIM,
+            num_queries=cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES,
+            nheads=cfg.MODEL.MASK_FORMER.NHEADS,
+            dim_feedforward=cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD,
+            dec_layers=cfg.MODEL.MASK_FORMER.DEC_LAYERS - 1,
+            pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
+            enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
+            mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
+        )
+
+
+@TRANSFORMER_DECODER_REGISTRY.register()
+class MultiScaleMaskedTransformerDecoderMaskDNLYSmooth(
+        MultiScaleMaskedTransformerDecoderMaskDN):
+    """MaskDN + cross-layer EMA smoothing of mask_embed (reference :1919-3281,
+    smoothing at :3226-3240, r = MODEL.MASK_FORMER.LAST_Q_RATIO)."""
+    pass
