@@ -1,0 +1,271 @@
+"""SetCriterion — point-sampled mask classification losses
+(reference modeling/criterion.py:90-320).
+
+Static-shape design: targets come padded to N slots with a validity mask; the
+matcher returns, per image, the query index assigned to every slot. Matched
+pairs are processed as dense (B, N, P) tensors and invalid pairs are masked
+out of every sum, reproducing the reference's variable-length concatenation
+semantics exactly. DN losses use fixed identity indices per group (reference
+:248-266) and are normalized by num_masks * scalar (:263).
+
+All matchings of a step (final + 9 aux layers, main and DN share targets) are
+solved in ONE batched host callback (see matcher.hungarian_assign).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..structures import Targets
+from .matcher import HungarianMatcher, hungarian_assign
+
+
+def sample_mask_points(
+    masks: jax.Array,          # (B, M, h, w) float
+    qidx: Optional[jax.Array],  # (B, N) int32 or None for identity (M == N)
+    coords: jax.Array,         # (B, N, P, 2) in [0, 1], (x, y)
+) -> jax.Array:
+    """Bilinear point_sample of per-pair masks without materializing the
+    gathered (B, N, h, w) intermediate: 4 taps from the flattened (B, M*h*w)
+    table. grid_sample semantics (align_corners=False, zero padding)."""
+    b, m, h, w = masks.shape
+    n, p = coords.shape[1], coords.shape[2]
+    flat = masks.reshape(b, m * h * w)
+
+    fx = coords[..., 0] * w - 0.5  # (B, N, P)
+    fy = coords[..., 1] * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+
+    if qidx is None:
+        base = jnp.arange(m, dtype=jnp.int32)[None, :, None] * (h * w)
+    else:
+        base = qidx[:, :, None].astype(jnp.int32) * (h * w)
+
+    def tap(ix, iy):
+        valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        idx = base + iyc * w + ixc  # (B, N, P)
+        vals = jnp.take_along_axis(flat, idx.reshape(b, n * p), axis=1).reshape(b, n, p)
+        return jnp.where(valid, vals, 0.0)
+
+    v00 = tap(x0, y0)
+    v01 = tap(x0 + 1, y0)
+    v10 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    return (v00 * (1 - tx) * (1 - ty) + v01 * tx * (1 - ty)
+            + v10 * (1 - tx) * ty + v11 * tx * ty)
+
+
+def dice_loss(point_logits, point_labels, pair_valid, num_masks):
+    """Reference dice_loss :21-44 over (B, N, P) pairs with validity mask."""
+    inputs = jax.nn.sigmoid(point_logits)
+    numerator = 2 * (inputs * point_labels).sum(-1)
+    denominator = inputs.sum(-1) + point_labels.sum(-1)
+    loss = 1 - (numerator + 1) / (denominator + 1)  # (B, N)
+    return jnp.where(pair_valid, loss, 0.0).sum() / num_masks
+
+
+def sigmoid_ce_loss(point_logits, point_labels, pair_valid, num_masks):
+    """Reference sigmoid_ce_loss :47-66."""
+    loss = optax_sigmoid_ce(point_logits, point_labels).mean(-1)  # (B, N)
+    return jnp.where(pair_valid, loss, 0.0).sum() / num_masks
+
+
+def optax_sigmoid_ce(logits, labels):
+    """binary_cross_entropy_with_logits, elementwise."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+class SetCriterion:
+    def __init__(
+        self,
+        num_classes: int,
+        matcher: HungarianMatcher,
+        weight_dict: Dict[str, float],
+        eos_coef: float,
+        losses: List[str],
+        num_points: int,
+        oversample_ratio: float,
+        importance_sample_ratio: float,
+        dn_no_lb: bool = False,
+    ):
+        self.num_classes = num_classes
+        self.matcher = matcher
+        self.weight_dict = weight_dict
+        self.eos_coef = eos_coef
+        self.losses = losses
+        self.num_points = num_points
+        self.oversample_ratio = oversample_ratio
+        self.importance_sample_ratio = importance_sample_ratio
+        self.dn_no_lb = dn_no_lb
+
+    # ------------------------------------------------------------------
+    def loss_labels(self, pred_logits, qidx, labels, valid):
+        """Weighted CE with no-object weight eos_coef (reference :127-144).
+        qidx: (B, N) matched query per slot; invalid slots dropped."""
+        b, q, _ = pred_logits.shape
+        target = jnp.full((b, q), self.num_classes, dtype=jnp.int32)
+        qsafe = jnp.where(valid, qidx, q)  # out-of-range -> dropped
+        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], qidx.shape)
+        target = target.at[bidx, qsafe].set(labels, mode="drop")
+
+        logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+        w = jnp.where(target == self.num_classes, self.eos_coef, 1.0)
+        return {"loss_ce": (nll * w).sum() / w.sum()}
+
+    def loss_masks(self, pred_masks, qidx, gt_masks, valid, num_masks, rng):
+        """Point-sampled CE + dice with uncertainty-based oversampling
+        (reference :146-191, point_rend get_uncertain_point_coords_with_randomness)."""
+        b, _, h, w = pred_masks.shape
+        n = qidx.shape[1]
+        k1, k2 = jax.random.split(rng)
+        num_sampled = int(self.num_points * self.oversample_ratio)
+        num_uncertain = int(self.importance_sample_ratio * self.num_points)
+        num_random = self.num_points - num_uncertain
+
+        pred32 = pred_masks.astype(jnp.float32)
+        coords1 = jax.random.uniform(k1, (b, n, num_sampled, 2))
+        logits1 = sample_mask_points(pred32, qidx, coords1)
+        uncertainty = -jnp.abs(jax.lax.stop_gradient(logits1))
+        _, top = jax.lax.top_k(uncertainty, num_uncertain)  # (B, N, num_uncertain)
+        uncertain_coords = jnp.take_along_axis(coords1, top[..., None], axis=2)
+        if num_random > 0:
+            rand_coords = jax.random.uniform(k2, (b, n, num_random, 2))
+            coords = jnp.concatenate([uncertain_coords, rand_coords], axis=2)
+        else:
+            coords = uncertain_coords
+        coords = jax.lax.stop_gradient(coords)
+
+        point_labels = jax.lax.stop_gradient(
+            sample_mask_points(gt_masks.astype(jnp.float32), None, coords))
+        point_logits = sample_mask_points(pred32, qidx, coords)
+
+        return {
+            "loss_mask": sigmoid_ce_loss(point_logits, point_labels, valid, num_masks),
+            "loss_dice": dice_loss(point_logits, point_labels, valid, num_masks),
+        }
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        outputs: Dict,
+        targets: Targets,
+        rng: jax.Array,
+        num_masks: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        """Returns the full (unweighted) loss dict with reference key names.
+        `num_masks` may be supplied pre-psummed by the trainer (reference
+        all-reduces it, :235-237)."""
+        if num_masks is None:
+            num_masks = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
+
+        dn_out = outputs.get("dn_out")
+        layer_outputs = outputs["aux_outputs"] + [outputs]
+
+        # one batched LSA for all layers (matcher rngs differ per layer,
+        # mirroring the reference's independent rand draws per matcher call)
+        rng, *mrngs = jax.random.split(rng, len(layer_outputs) + 1)
+        costs = jnp.stack([
+            self.matcher.cost(o["pred_logits"], o["pred_masks"], targets, r)
+            for o, r in zip(layer_outputs, mrngs)
+        ])  # (L, B, Q, N)
+        assignments = hungarian_assign(costs)  # (L, B, N)
+
+        # DN tiled targets + identity indices (reference :248-258)
+        if dn_out is not None:
+            scalar = dn_out["dn_args"]["scalar"]
+            n = targets.labels.shape[1]
+            pad = scalar * n
+            b = targets.labels.shape[0]
+            dn_labels = jnp.tile(targets.labels, (1, scalar))
+            dn_valid = jnp.tile(targets.valid, (1, scalar))
+            dn_gt_masks = jnp.tile(targets.masks, (1, scalar, 1, 1))
+            dn_qidx = jnp.broadcast_to(jnp.arange(pad, dtype=jnp.int32)[None], (b, pad))
+            dn_num_masks = num_masks * scalar
+            dn_layers = dn_out["aux_outputs"] + [dn_out]
+
+        losses: Dict[str, jax.Array] = {}
+
+        def compute(out, qidx, suffix, rng_l):
+            d = {}
+            if "labels" in self.losses:
+                d.update(self.loss_labels(
+                    out["pred_logits"], qidx, targets.labels, targets.valid))
+            if "masks" in self.losses:
+                d.update(self.loss_masks(
+                    out["pred_masks"], qidx, targets.masks, targets.valid,
+                    num_masks, rng_l))
+            return {k + suffix: v for k, v in d.items()}
+
+        def compute_dn(out, suffix, rng_l):
+            d = {}
+            if "labels" in self.losses:
+                d.update(self.loss_labels(out["pred_logits"], dn_qidx, dn_labels, dn_valid))
+            if "masks" in self.losses:
+                d.update(self.loss_masks(
+                    out["pred_masks"], dn_qidx, dn_gt_masks, dn_valid,
+                    dn_num_masks, rng_l))
+            return {k + "_dn" + suffix: v for k, v in d.items()}
+
+        num_layers = len(layer_outputs)
+        rngs = jax.random.split(rng, 2 * num_layers)
+        for li, out in enumerate(layer_outputs):
+            last = li == num_layers - 1
+            suffix = "" if last else f"_{li}"
+            losses.update(compute(out, assignments[li], suffix, rngs[2 * li]))
+            if dn_out is not None:
+                losses.update(compute_dn(dn_layers[li], suffix, rngs[2 * li + 1]))
+            else:
+                zero = jnp.zeros((), jnp.float32)
+                for k in ("loss_mask_dn", "loss_dice_dn", "loss_ce_dn"):
+                    losses[k + suffix] = zero
+
+        if self.dn_no_lb:
+            losses = {k: v for k, v in losses.items() if not k.startswith("loss_ce_dn")}
+        return losses
+
+    def weighted_total(self, losses: Dict[str, jax.Array]) -> jax.Array:
+        """Apply weight_dict and sum (reference maskformer_model.py:226-231)."""
+        total = jnp.zeros((), jnp.float32)
+        for k, v in losses.items():
+            if k in self.weight_dict:
+                total = total + v * self.weight_dict[k]
+        return total
+
+
+def build_criterion(cfg) -> SetCriterion:
+    """Reference MaskFormer.from_config :116-146."""
+    class_weight = cfg.MODEL.MASK_FORMER.CLASS_WEIGHT
+    dice_weight = cfg.MODEL.MASK_FORMER.DICE_WEIGHT
+    mask_weight = cfg.MODEL.MASK_FORMER.MASK_WEIGHT
+    matcher = HungarianMatcher(
+        cost_class=class_weight, cost_mask=mask_weight, cost_dice=dice_weight,
+        num_points=cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS)
+    weight_dict = {"loss_ce": class_weight, "loss_mask": mask_weight,
+                   "loss_dice": dice_weight,
+                   "loss_ce_dn": class_weight, "loss_mask_dn": mask_weight,
+                   "loss_dice_dn": dice_weight}
+    if cfg.MODEL.MASK_FORMER.DEEP_SUPERVISION:
+        aux = {}
+        for i in range(cfg.MODEL.MASK_FORMER.DEC_LAYERS - 1):
+            aux.update({k + f"_{i}": v for k, v in weight_dict.items()})
+        weight_dict.update(aux)
+    return SetCriterion(
+        cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        matcher=matcher,
+        weight_dict=weight_dict,
+        eos_coef=cfg.MODEL.MASK_FORMER.NO_OBJECT_WEIGHT,
+        losses=["labels", "masks"],
+        num_points=cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS,
+        oversample_ratio=cfg.MODEL.MASK_FORMER.OVERSAMPLE_RATIO,
+        importance_sample_ratio=cfg.MODEL.MASK_FORMER.IMPORTANCE_SAMPLE_RATIO,
+        dn_no_lb=cfg.MODEL.MASK_FORMER.DN_NO_LB,
+    )

@@ -1,0 +1,129 @@
+"""Hungarian matcher (reference modeling/matcher.py:70-189).
+
+Costs are computed on device as MXU matmuls over 12544 shared random points
+(reference :120-132); the LSAP solve hops to host scipy via one batched
+`pure_callback` — the same device->host hop the reference takes (:149-151),
+but batched over (layers x batch) so a training step pays one round-trip, not
+10*B. Static shapes: targets are padded to N slots with a validity mask;
+invalid columns get a large constant cost, and the returned assignment is a
+permutation so valid/invalid rows never collide.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.optimize
+
+from ..structures import Targets
+from ..utils.interp import point_sample
+
+_INVALID_COST = 1e6
+_POOL = ThreadPoolExecutor(max_workers=8)
+
+
+def _lsa_host(cost: np.ndarray) -> np.ndarray:
+    """cost: (M, Q, N) -> src_of_tgt (M, N) int32: query index assigned to
+    each target column."""
+    cost = np.asarray(cost, dtype=np.float64)
+    m, q, n = cost.shape
+    out = np.zeros((m, n), dtype=np.int32)
+
+    def solve(i):
+        rows, cols = scipy.optimize.linear_sum_assignment(cost[i])
+        res = np.zeros((n,), dtype=np.int32)
+        res[cols] = rows
+        return i, res
+
+    for i, res in _POOL.map(solve, range(m)):
+        out[i] = res
+    return out
+
+
+def hungarian_assign(cost: jax.Array) -> jax.Array:
+    """cost: (..., Q, N) -> (..., N) int32 assignment via host scipy."""
+    lead = cost.shape[:-2]
+    q, n = cost.shape[-2:]
+    flat = cost.reshape((-1, q, n))
+    out = jax.pure_callback(
+        _lsa_host,
+        jax.ShapeDtypeStruct((flat.shape[0], n), jnp.int32),
+        jax.lax.stop_gradient(flat),
+    )
+    return out.reshape(lead + (n,))
+
+
+def batch_dice_cost(inputs: jax.Array, targets: jax.Array) -> jax.Array:
+    """(Q, P) logits x (N, P) binary -> (Q, N) (reference batch_dice_loss :17-31)."""
+    inputs = jax.nn.sigmoid(inputs)
+    numerator = 2 * jnp.einsum("...qp,...np->...qn", inputs, targets)
+    denominator = inputs.sum(-1)[..., :, None] + targets.sum(-1)[..., None, :]
+    return 1 - (numerator + 1) / (denominator + 1)
+
+
+def batch_sigmoid_ce_cost(inputs: jax.Array, targets: jax.Array) -> jax.Array:
+    """(Q, P) logits x (N, P) binary -> (Q, N) (reference :39-62)."""
+    p = inputs.shape[-1]
+    pos = jax.nn.softplus(-inputs)  # BCE(x, 1)
+    neg = jax.nn.softplus(inputs)   # BCE(x, 0)
+    loss = jnp.einsum("...qp,...np->...qn", pos, targets) + jnp.einsum(
+        "...qp,...np->...qn", neg, 1 - targets)
+    return loss / p
+
+
+def match_cost_matrix(
+    pred_logits: jax.Array,   # (B, Q, K+1)
+    pred_masks: jax.Array,    # (B, Q, h, w) logits
+    targets: Targets,
+    num_points: int,
+    cost_class: float,
+    cost_mask: float,
+    cost_dice: float,
+    rng: jax.Array,
+) -> jax.Array:
+    """(B, Q, N) matching cost; invalid target columns = large constant."""
+    b, q = pred_logits.shape[:2]
+    n = targets.labels.shape[1]
+
+    prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+    # cost_class[b, :, j] = -prob[b, :, labels[b, j]]
+    cc = -jnp.take_along_axis(prob, targets.labels[:, None, :], axis=-1)  # (B, Q, N)
+
+    # shared random points per image (reference :120)
+    coords = jax.random.uniform(rng, (b, num_points, 2))
+    # sample pred masks: (B, h, w, Q) channels-last -> (B, P, Q)
+    out_pts = point_sample(
+        jnp.moveaxis(pred_masks.astype(jnp.float32), 1, -1), coords)
+    out_pts = jnp.moveaxis(out_pts, -1, 1)  # (B, Q, P)
+    tgt_pts = point_sample(
+        jnp.moveaxis(targets.masks.astype(jnp.float32), 1, -1), coords)
+    tgt_pts = jnp.moveaxis(tgt_pts, -1, 1)  # (B, N, P)
+
+    cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
+    cd = batch_dice_cost(out_pts, tgt_pts)
+    cost = cost_mask * cm + cost_class * cc + cost_dice * cd
+    cost = jnp.where(targets.valid[:, None, :], cost, _INVALID_COST)
+    return jnp.where(jnp.isfinite(cost), cost, _INVALID_COST)
+
+
+class HungarianMatcher:
+    """Config-holding wrapper (reference HungarianMatcher :70-110)."""
+
+    def __init__(self, cost_class=1.0, cost_mask=1.0, cost_dice=1.0, num_points=0):
+        assert cost_class != 0 or cost_mask != 0 or cost_dice != 0
+        self.cost_class = cost_class
+        self.cost_mask = cost_mask
+        self.cost_dice = cost_dice
+        self.num_points = num_points
+
+    def cost(self, pred_logits, pred_masks, targets: Targets, rng) -> jax.Array:
+        return match_cost_matrix(
+            pred_logits, pred_masks, targets, self.num_points,
+            self.cost_class, self.cost_mask, self.cost_dice, rng)
+
+    def __call__(self, pred_logits, pred_masks, targets: Targets, rng) -> jax.Array:
+        """Returns (B, N) int32: query index matched to each target slot."""
+        return hungarian_assign(self.cost(pred_logits, pred_masks, targets, rng))
