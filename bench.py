@@ -1,0 +1,61 @@
+"""Benchmark: single-chip segmentation inference throughput (images/sec).
+
+Flagship config: R50 MaskFormer, COCO instance, 1024x1024 LSJ eval resolution
+(reference Base-COCO-InstanceSegmentation.yaml INPUT.IMAGE_SIZE: 1024).
+Baseline: Mask2Former R50 reports 8.6 fps on V100 (paper, Table); the
+north-star targets A100-class throughput — we take 2x V100 = 17.2 img/s as
+the A100 estimate (BASELINE.json: no in-repo throughput number exists).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_IMG_PER_SEC = 17.2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mp_former_tpu.models import build_model
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg()
+    model = build_model(cfg)
+
+    batch = 4
+    size = 1024
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32) * 255)
+    params = model.init({"params": jax.random.PRNGKey(0)}, images, None, train=False)
+
+    @jax.jit
+    def fwd(p, im):
+        out = model.apply(p, im, None, train=False)
+        return out["pred_logits"], out["pred_masks"]
+
+    # warmup + compile
+    logits, masks = fwd(params, images)
+    jax.block_until_ready((logits, masks))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logits, masks = fwd(params, images)
+    jax.block_until_ready((logits, masks))
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "coco_r50_1024_infer_images_per_sec",
+        "value": round(img_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

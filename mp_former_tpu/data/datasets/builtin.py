@@ -1,0 +1,12 @@
+"""Builtin dataset registrations (reference data/datasets/__init__.py:2-10).
+
+Registers the standard d2 dataset layout rooted at $DETECTRON2_DATASETS.
+Heavier per-dataset class tables live in their own modules.
+"""
+
+import os
+
+from .coco import register_all_coco
+
+_root = os.environ.get("DETECTRON2_DATASETS", "datasets")
+register_all_coco(_root)

@@ -1,0 +1,202 @@
+"""Full-model torch checkpoint -> flax params converter.
+
+Handles the released MP-Former `model_final.pth` layout (d2 MaskFormer:
+backbone.* / sem_seg_head.pixel_decoder.* / sem_seg_head.predictor.*),
+including the reference's own migration shims (`static_query` ->
+`query_feat`, mask2former_transformer_decoder.py:214-235; head prefix
+rewrites, mask_former_head.py:23-45) and torch nn.MultiheadAttention packed
+in_proj splitting.
+"""
+
+from __future__ import annotations
+
+import pickle
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+from .convert import (_bn, _conv, _linear, d2_resnet_params_from_state_dict,
+                      swin_params_from_torch)
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth (via torch, cpu) or d2 .pkl into numpy arrays."""
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        sd = data.get("model", data)
+        return {k: np.asarray(v) for k, v in sd.items() if not k.endswith("_momentum")}
+    import torch
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    sd = data.get("model", data) if isinstance(data, dict) else data
+    out = {}
+    for k, v in sd.items():
+        try:
+            out[k] = v.numpy()
+        except AttributeError:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _apply_shims(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        nk = k.replace("static_query", "query_feat")  # reference :214-235
+        # d2 head v1->v2 prefix shim (mask_former_head.py:23-45)
+        nk = nk.replace("sem_seg_head.layer_4", "sem_seg_head.adapter_1")
+        out[nk] = v
+    return out
+
+
+def _mha(sd, prefix) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention -> q/k/v/out Dense split."""
+    w = sd[f"{prefix}.in_proj_weight"]
+    b = sd[f"{prefix}.in_proj_bias"]
+    c = w.shape[0] // 3
+    return {
+        "q_proj": {"kernel": w[:c].T, "bias": b[:c]},
+        "k_proj": {"kernel": w[c:2 * c].T, "bias": b[c:2 * c]},
+        "v_proj": {"kernel": w[2 * c:].T, "bias": b[2 * c:]},
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _ln(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def convert_pixel_decoder(sd: Dict[str, np.ndarray],
+                          prefix: str = "sem_seg_head.pixel_decoder.") -> Dict[str, Any]:
+    p: Dict[str, Any] = {}
+    i = 0
+    while f"{prefix}input_proj.{i}.0.weight" in sd:
+        p[f"input_proj_{i}_conv"] = {
+            "kernel": np.transpose(sd[f"{prefix}input_proj.{i}.0.weight"], (2, 3, 1, 0)),
+            "bias": sd[f"{prefix}input_proj.{i}.0.bias"],
+        }
+        p[f"input_proj_{i}_gn"] = _ln(sd, f"{prefix}input_proj.{i}.1")
+        i += 1
+    tx: Dict[str, Any] = {"level_embed": sd[f"{prefix}transformer.level_embed"]}
+    j = 0
+    while f"{prefix}transformer.encoder.layers.{j}.norm1.weight" in sd:
+        t = f"{prefix}transformer.encoder.layers.{j}"
+        tx[f"encoder_layers_{j}"] = {
+            "self_attn": {
+                "sampling_offsets": _linear(sd, f"{t}.self_attn.sampling_offsets"),
+                "attention_weights": _linear(sd, f"{t}.self_attn.attention_weights"),
+                "value_proj": _linear(sd, f"{t}.self_attn.value_proj"),
+                "output_proj": _linear(sd, f"{t}.self_attn.output_proj"),
+            },
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "linear1": _linear(sd, f"{t}.linear1"),
+            "linear2": _linear(sd, f"{t}.linear2"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+        }
+        j += 1
+    p["transformer"] = tx
+    p["mask_features"] = {
+        "kernel": np.transpose(sd[f"{prefix}mask_features.weight"], (2, 3, 1, 0)),
+        "bias": sd[f"{prefix}mask_features.bias"],
+    }
+    k = 1
+    while f"{prefix}adapter_{k}.weight" in sd:
+        p[f"adapter_{k}_conv"] = {
+            "kernel": np.transpose(sd[f"{prefix}adapter_{k}.weight"], (2, 3, 1, 0))}
+        p[f"adapter_{k}_gn"] = _ln(sd, f"{prefix}adapter_{k}.norm")
+        p[f"layer_{k}_conv"] = {
+            "kernel": np.transpose(sd[f"{prefix}layer_{k}.weight"], (2, 3, 1, 0))}
+        p[f"layer_{k}_gn"] = _ln(sd, f"{prefix}layer_{k}.norm")
+        k += 1
+    return p
+
+
+def convert_predictor(sd: Dict[str, np.ndarray],
+                      prefix: str = "sem_seg_head.predictor.") -> Dict[str, Any]:
+    p: Dict[str, Any] = {
+        "query_feat": sd[f"{prefix}query_feat.weight"],
+        "level_embed": sd[f"{prefix}level_embed.weight"],
+        "decoder_norm": _ln(sd, f"{prefix}decoder_norm"),
+        "class_embed": _linear(sd, f"{prefix}class_embed"),
+        "mask_embed": {
+            f"layers_{i}": _linear(sd, f"{prefix}mask_embed.layers.{i}")
+            for i in range(3)
+        },
+    }
+    if f"{prefix}label_enc.weight" in sd:
+        p["label_enc"] = sd[f"{prefix}label_enc.weight"]
+    i = 0
+    while f"{prefix}transformer_self_attention_layers.{i}.norm.weight" in sd:
+        p[f"transformer_self_attention_layers_{i}"] = {
+            "self_attn": _mha(sd, f"{prefix}transformer_self_attention_layers.{i}.self_attn"),
+            "norm": _ln(sd, f"{prefix}transformer_self_attention_layers.{i}.norm"),
+        }
+        p[f"transformer_cross_attention_layers_{i}"] = {
+            "multihead_attn": _mha(
+                sd, f"{prefix}transformer_cross_attention_layers.{i}.multihead_attn"),
+            "norm": _ln(sd, f"{prefix}transformer_cross_attention_layers.{i}.norm"),
+        }
+        t = f"{prefix}transformer_ffn_layers.{i}"
+        p[f"transformer_ffn_layers_{i}"] = {
+            "linear1": _linear(sd, f"{t}.linear1"),
+            "linear2": _linear(sd, f"{t}.linear2"),
+            "norm": _ln(sd, f"{t}.norm"),
+        }
+        i += 1
+    for ip in range(3):
+        if f"{prefix}input_proj.{ip}.weight" in sd:
+            p[f"input_proj_{ip}"] = {
+                "kernel": np.transpose(sd[f"{prefix}input_proj.{ip}.weight"], (2, 3, 1, 0)),
+                "bias": sd[f"{prefix}input_proj.{ip}.bias"],
+            }
+    return p
+
+
+def convert_maskformer_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Full model: returns {'backbone': ..., 'sem_seg_head': {'pixel_decoder',
+    'predictor'}} matching our MaskFormer module tree."""
+    sd = _apply_shims(sd)
+    if "backbone.stem.conv1.weight" in sd:
+        backbone = d2_resnet_params_from_state_dict(sd, "backbone.")
+    elif "backbone.patch_embed.proj.weight" in sd:
+        backbone = swin_params_from_torch(sd, "backbone.")
+    else:
+        raise ValueError("Unrecognized backbone layout in state dict")
+    return {
+        "backbone": backbone,
+        "sem_seg_head": {
+            "pixel_decoder": convert_pixel_decoder(sd),
+            "predictor": convert_predictor(sd),
+        },
+    }
+
+
+def _tree_shapes(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_tree_shapes(v, prefix + k + "/"))
+        else:
+            out[prefix + k] = tuple(np.shape(v))
+    return out
+
+
+def load_reference_weights(path: str, params_template) -> Any:
+    """Load + convert + verify against the flax param template structure."""
+    import jax
+
+    sd = load_state_dict(path)
+    converted = convert_maskformer_state_dict(sd)
+    want = _tree_shapes(jax.tree.map(np.asarray, params_template))
+    got = _tree_shapes(converted)
+    missing = sorted(set(want) - set(got))
+    unexpected = sorted(set(got) - set(want))
+    mismatched = sorted(k for k in set(want) & set(got) if want[k] != got[k])
+    if missing or unexpected or mismatched:
+        raise ValueError(
+            f"checkpoint conversion mismatch:\n missing={missing[:10]}\n "
+            f"unexpected={unexpected[:10]}\n shape-mismatch={mismatched[:10]}")
+    return jax.tree.map(
+        lambda t, c: np.asarray(c, dtype=np.asarray(t).dtype),
+        params_template, converted)

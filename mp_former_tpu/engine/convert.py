@@ -59,6 +59,58 @@ def resnet_params_from_torchvision(sd: Dict[str, np.ndarray], depth: int = 50) -
     return p
 
 
+def swin_params_from_torch(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[str, Any]:
+    """Official Swin checkpoint (or d2 'backbone.'-prefixed) -> our
+    SwinTransformer param tree (replaces tools/convert-pretrained-swin-model-to-d2.py)."""
+    if prefix and not prefix.endswith("."):
+        prefix += "."
+    p: Dict[str, Any] = {}
+    p["patch_embed_proj"] = {
+        "kernel": np.transpose(sd[f"{prefix}patch_embed.proj.weight"], (2, 3, 1, 0)),
+        "bias": sd[f"{prefix}patch_embed.proj.bias"],
+    }
+    if f"{prefix}patch_embed.norm.weight" in sd:
+        p["patch_embed_norm"] = {
+            "scale": sd[f"{prefix}patch_embed.norm.weight"],
+            "bias": sd[f"{prefix}patch_embed.norm.bias"],
+        }
+    # stages
+    i = 0
+    while f"{prefix}layers.{i}.blocks.0.norm1.weight" in sd:
+        j = 0
+        while f"{prefix}layers.{i}.blocks.{j}.norm1.weight" in sd:
+            t = f"{prefix}layers.{i}.blocks.{j}"
+            p[f"layers_{i}_blocks_{j}"] = {
+                "norm1": {"scale": sd[f"{t}.norm1.weight"], "bias": sd[f"{t}.norm1.bias"]},
+                "norm2": {"scale": sd[f"{t}.norm2.weight"], "bias": sd[f"{t}.norm2.bias"]},
+                "attn": {
+                    "qkv": _linear(sd, f"{t}.attn.qkv"),
+                    "proj": _linear(sd, f"{t}.attn.proj"),
+                    "relative_position_bias_table": sd[f"{t}.attn.relative_position_bias_table"],
+                },
+                "mlp_fc1": _linear(sd, f"{t}.mlp.fc1"),
+                "mlp_fc2": _linear(sd, f"{t}.mlp.fc2"),
+            }
+            j += 1
+        if f"{prefix}layers.{i}.downsample.norm.weight" in sd:
+            t = f"{prefix}layers.{i}.downsample"
+            p[f"layers_{i}_downsample"] = {
+                "norm": {"scale": sd[f"{t}.norm.weight"], "bias": sd[f"{t}.norm.bias"]},
+                "reduction": _linear(sd, f"{t}.reduction"),
+            }
+        i += 1
+    for k in list(sd):
+        # per-out-feature norms: 'norm0.weight' / d2 'backbone.norm0.weight'
+        m = re.match(rf"^{re.escape(prefix)}norm(\d)\.weight$", k)
+        if m:
+            n = m.group(1)
+            p[f"norm{n}"] = {
+                "scale": sd[f"{prefix}norm{n}.weight"],
+                "bias": sd[f"{prefix}norm{n}.bias"],
+            }
+    return p
+
+
 def d2_resnet_params_from_state_dict(
     sd: Dict[str, np.ndarray], prefix: str = "backbone."
 ) -> Dict[str, Any]:

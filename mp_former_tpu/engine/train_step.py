@@ -1,0 +1,70 @@
+"""Jitted training / eval step builders.
+
+One `jax.jit`-compiled function covers the reference's whole hot path
+(train_net.py run_step -> MaskFormer.forward -> criterion -> backward -> DDP
+allreduce -> optimizer.step): under GSPMD the batch is sharded over the
+`data` mesh axis and gradient reduction + num_masks psum fall out of the
+partitioner automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..structures import Targets
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class Batch(NamedTuple):
+    images: jax.Array          # (B, H, W, 3) raw RGB
+    targets: Targets
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_train_step(model, criterion, tx, donate: bool = True):
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        rng_dn, rng_drop, rng_loss = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+        # global valid-instance count (reference all_reduce, criterion.py:235-237)
+        num_masks = jnp.maximum(
+            batch.targets.valid.sum().astype(jnp.float32), 1.0)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params}, batch.images, batch.targets, train=True,
+                rngs={"dn": rng_dn, "dropout": rng_drop})
+            losses = criterion(outputs, batch.targets, rng_loss, num_masks=num_masks)
+            total = criterion.weighted_total(losses)
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"total_loss": total, **losses}
+        return TrainState(state.step + 1, new_params, new_opt), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model):
+    """Jitted forward returning raw predictions (post-processing on host)."""
+
+    def eval_step(params, images):
+        return model.apply({"params": params}, images, None, train=False)
+
+    return jax.jit(eval_step)

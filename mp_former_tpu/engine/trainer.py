@@ -1,0 +1,135 @@
+"""Trainer (replaces d2 DefaultTrainer usage in reference train_net.py:137).
+
+Responsibilities: build model/criterion/optimizer from cfg, restore or
+initialize state (Orbax), run the jitted train step over the data-parallel
+mesh, log metrics, checkpoint periodically, optionally eval periodically.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, cfg, train_loader=None):
+        import optax
+
+        from ..models import build_model
+        from ..models.criterion import build_criterion
+        from ..parallel.mesh import create_mesh, replicate, shard_batch
+        from .optimizer import build_optimizer
+        from .train_step import Batch, create_train_state, make_train_step
+
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.criterion = build_criterion(cfg)
+        self.mesh = create_mesh(cfg)
+        self._shard_batch = lambda b: shard_batch(self.mesh, b)
+        self._replicate = lambda t: replicate(self.mesh, t)
+        self.train_loader = train_loader
+        self.max_iter = cfg.SOLVER.MAX_ITER
+        self.checkpoint_period = cfg.SOLVER.CHECKPOINT_PERIOD
+        self.output_dir = cfg.OUTPUT_DIR
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        # init params from a sample batch shape
+        seed = max(cfg.SEED, 0)
+        self.rng = jax.random.PRNGKey(seed)
+        batch = next(iter(train_loader)) if train_loader is not None else None
+        assert batch is not None, "Trainer requires a train loader"
+        with jax.set_mesh(self.mesh):
+            params = self.model.init(
+                {"params": jax.random.PRNGKey(seed),
+                 "dn": jax.random.PRNGKey(seed + 1),
+                 "dropout": jax.random.PRNGKey(seed + 2)},
+                batch.images, batch.targets, train=True)["params"]
+            self.tx = build_optimizer(cfg, params)
+            self.state = self._replicate(create_train_state(params, self.tx))
+        self.train_step = make_train_step(self.model, self.criterion, self.tx)
+        self._first_batch = batch
+
+        self._ckpt_mgr = None
+
+    # -- checkpointing (Orbax; replaces DetectionCheckpointer) ----------
+    def _manager(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(os.path.join(self.output_dir, "checkpoints")),
+                options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+            )
+        return self._ckpt_mgr
+
+    def save(self, step: int):
+        import orbax.checkpoint as ocp
+
+        self._manager().save(
+            step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, self.state)))
+        self._manager().wait_until_finished()
+
+    def resume_or_load(self, resume: bool = True):
+        """d2 resume_or_load equivalent: resume from last checkpoint if
+        present, else load cfg.MODEL.WEIGHTS (torch .pth via converter)."""
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager()
+        latest = mgr.latest_step()
+        if resume and latest is not None:
+            restored = mgr.restore(
+                latest, args=ocp.args.StandardRestore(
+                    jax.tree.map(np.asarray, self.state)))
+            self.state = self._replicate(restored)
+            logger.info("resumed from checkpoint step %d", latest)
+            return int(latest)
+        weights = self.cfg.MODEL.WEIGHTS
+        if weights:
+            from .checkpoint_import import load_reference_weights
+
+            params = load_reference_weights(weights, self.state.params)
+            self.state = self.state._replace(params=self._replicate(params))
+            logger.info("loaded weights from %s", weights)
+        return 0
+
+    # -- train loop ------------------------------------------------------
+    def train(self, start_iter: int = 0, hooks: Optional[Dict[str, Callable]] = None):
+        metrics_path = os.path.join(self.output_dir, "metrics.json")
+        it = iter(self.train_loader)
+        batch = self._first_batch
+        t_data = 0.0
+        with jax.set_mesh(self.mesh):
+            for step in range(start_iter, self.max_iter):
+                sharded = self._shard_batch(batch)
+                state, metrics = self.train_step(self.state, sharded, self.rng)
+                self.state = state
+                t0 = time.perf_counter()
+                batch = next(it)  # overlap host data with device compute
+                t_data += time.perf_counter() - t0
+
+                if step % 20 == 0 or step == self.max_iter - 1:
+                    m = {k: float(v) for k, v in jax.tree.map(
+                        lambda x: x, metrics).items()}
+                    m["iteration"] = step
+                    m["data_time"] = t_data / max(step - start_iter + 1, 1)
+                    logger.info(
+                        "iter %d total_loss %.4f loss_ce %.4f loss_mask %.4f loss_dice %.4f",
+                        step, m["total_loss"], m.get("loss_ce", 0.0),
+                        m.get("loss_mask", 0.0), m.get("loss_dice", 0.0))
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps(m) + "\n")
+                if hooks:
+                    for h in hooks.values():
+                        h(step, self)
+                if (step + 1) % self.checkpoint_period == 0:
+                    self.save(step + 1)
+        self.save(self.max_iter)

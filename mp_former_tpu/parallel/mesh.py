@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers.
+
+The reference's distribution story is data parallelism via torch DDP/NCCL
+(SURVEY.md §2.8). TPU-native equivalent: one `data` mesh axis over ICI/DCN,
+params replicated, batch sharded on axis 0, gradients reduced by GSPMD.
+`psum(num_masks)` replaces the reference's all_reduce (criterion.py:235-237);
+eval prediction gathering uses jax.experimental.multihost_utils when
+multi-process.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(cfg.TPU.MESH_SHAPE) if cfg is not None else [-1]
+    axes = list(cfg.TPU.MESH_AXES) if cfg is not None else ["data"]
+    n = len(devices)
+    if shape.count(-1) == 1:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = n // known
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of arrays with batch-dim sharding."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
