@@ -35,17 +35,19 @@ def main():
     @jax.jit
     def fwd(p, im):
         out = model.apply(p, im, None, train=False)
-        return out["pred_logits"], out["pred_masks"]
+        # tiny reductions: fetching these scalars forces full execution on
+        # remote backends where block_until_ready returns early
+        return jnp.sum(out["pred_logits"]), jnp.sum(out["pred_masks"][:, :, ::64, ::64])
 
-    # warmup + compile
-    logits, masks = fwd(params, images)
-    jax.block_until_ready((logits, masks))
+    # warmup + compile (host fetch = true sync)
+    a, b = fwd(params, images)
+    float(a), float(b)
 
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        logits, masks = fwd(params, images)
-    jax.block_until_ready((logits, masks))
+    sums = [fwd(params, images) for _ in range(iters)]
+    for a, b in sums:
+        float(a), float(b)
     dt = time.perf_counter() - t0
 
     img_per_sec = batch * iters / dt

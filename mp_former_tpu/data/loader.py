@@ -98,6 +98,8 @@ def build_train_loader(cfg, dataset_name: Optional[str] = None):
     """Reference Trainer.build_train_loader (train_net.py:224-248): pick the
     mapper by cfg.INPUT.DATASET_MAPPER_NAME."""
     from ..utils.registry import DATASET_MAPPER_REGISTRY
+    from . import dataset_mappers  # noqa: F401 — ensure registration
+    from .dataset_mappers import coco_instance_new_baseline  # noqa: F401
     from .catalog import DatasetCatalog
     from .datasets import builtin  # noqa: F401 — ensure registration
 

@@ -25,6 +25,9 @@ def create_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mes
     if shape.count(-1) == 1:
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = n // known
+    want = int(np.prod(shape))
+    if want < n:
+        devices = devices[:want]
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, tuple(axes))
 
