@@ -1,0 +1,144 @@
+"""VideoMultiScaleMaskedTransformerDecoder (reference
+mask2former_video/modeling/transformer_decoder/video_mask2former_transformer_decoder.py).
+
+The image decoder extended with time: per-frame features are flattened into
+(T*HW) token sequences, the mask head becomes einsum "bqc,bthwc->bqthw", and
+— unlike the image Mask2Former decoder — the learnable query_embed positional
+embedding is kept (:323).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..models.transformer_decoder.position_encoding import position_embedding_sine
+from ..models.transformer_decoder.primitives import (
+    CrossAttentionLayer, FFNLayer, MLP, SelfAttentionLayer)
+from ..utils.interp import resize
+from ..utils.registry import TRANSFORMER_DECODER_REGISTRY
+
+
+@TRANSFORMER_DECODER_REGISTRY.register()
+class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
+    in_channels: int
+    num_classes: int
+    num_frames: int = 2
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    pre_norm: bool = False
+    mask_dim: int = 256
+    enforce_input_project: bool = False
+    mask_classification: bool = True
+    num_feature_levels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg, in_channels, mask_classification=True):
+        return cls(
+            in_channels=in_channels,
+            mask_classification=mask_classification,
+            num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+            hidden_dim=cfg.MODEL.MASK_FORMER.HIDDEN_DIM,
+            num_queries=cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES,
+            nheads=cfg.MODEL.MASK_FORMER.NHEADS,
+            dim_feedforward=cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD,
+            dec_layers=cfg.MODEL.MASK_FORMER.DEC_LAYERS - 1,
+            pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
+            enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
+            mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
+            num_frames=cfg.INPUT.SAMPLING_FRAME_NUM,
+        )
+
+    @nn.compact
+    def __call__(self, x: List[jax.Array], mask_features: jax.Array,
+                 dn_args=None, *, train: bool = False):
+        """x: 3 levels of (B*T, H, W, C); mask_features (B*T, H/4, W/4, C)."""
+        t = self.num_frames
+        bt = x[0].shape[0]
+        b = bt // t
+        C = self.hidden_dim
+        heads = self.nheads
+
+        hm, wm = mask_features.shape[1], mask_features.shape[2]
+        mask_feat = mask_features.reshape(b, t, hm, wm, -1)
+
+        query_feat = self.param(
+            "query_feat", nn.initializers.normal(1.0), (self.num_queries, C))
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (self.num_queries, C))
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, C))
+
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
+        class_embed = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="class_embed")
+        mask_embed_mlp = MLP(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
+
+        src, pos, size_list = [], [], []
+        for i, xi in enumerate(x):
+            h, w = xi.shape[1], xi.shape[2]
+            size_list.append((h, w))
+            pe = position_embedding_sine(h, w, C // 2, dtype=self.dtype)
+            s = xi.astype(self.dtype)
+            if self.in_channels != C or self.enforce_input_project:
+                s = nn.Conv(C, (1, 1), dtype=self.dtype,
+                            kernel_init=nn.initializers.xavier_uniform(),
+                            name=f"input_proj_{i}")(s)
+            s = s.reshape(b, t * h * w, C) + level_embed[i][None, None]
+            p = jnp.broadcast_to(pe.reshape(1, 1, h * w, C), (b, t, h * w, C))
+            src.append(s)
+            pos.append(p.reshape(b, t * h * w, C))
+
+        qpos = jnp.broadcast_to(query_embed[None], (b, self.num_queries, C)).astype(self.dtype)
+        output = jnp.broadcast_to(query_feat[None], (b, self.num_queries, C)).astype(self.dtype)
+
+        def heads_fn(out, size):
+            dec = decoder_norm(out)
+            cls = class_embed(dec)
+            memb = mask_embed_mlp(dec)
+            om = jnp.einsum("bqc,bthwc->bqthw", memb, mask_feat.astype(memb.dtype))
+            am = resize(om, size, "bilinear")  # (B, Q, T, h, w)
+            am = jax.nn.sigmoid(am).reshape(b, 1, self.num_queries, -1) < 0.5
+            am = jnp.broadcast_to(am, (b, heads) + am.shape[2:])
+            return cls, om, am
+
+        outputs_class, outputs_mask, attn_mask = heads_fn(output, size_list[0])
+        pred_cls, pred_msk = [outputs_class], [outputs_mask]
+
+        for i in range(self.dec_layers):
+            lvl = i % self.num_feature_levels
+            all_blocked = jnp.all(attn_mask, axis=-1, keepdims=True)
+            attn_mask = jnp.logical_and(attn_mask, ~all_blocked)
+            output = CrossAttentionLayer(
+                C, heads, 0.0, normalize_before=self.pre_norm, dtype=self.dtype,
+                name=f"transformer_cross_attention_layers_{i}",
+            )(output, src[lvl], memory_mask=attn_mask, pos=pos[lvl],
+              query_pos=qpos, train=train)
+            output = SelfAttentionLayer(
+                C, heads, 0.0, normalize_before=self.pre_norm, dtype=self.dtype,
+                name=f"transformer_self_attention_layers_{i}",
+            )(output, query_pos=qpos, train=train)
+            output = FFNLayer(
+                C, self.dim_feedforward, 0.0, normalize_before=self.pre_norm,
+                dtype=self.dtype, name=f"transformer_ffn_layers_{i}",
+            )(output, train=train)
+            outputs_class, outputs_mask, attn_mask = heads_fn(
+                output, size_list[(i + 1) % self.num_feature_levels])
+            pred_cls.append(outputs_class)
+            pred_msk.append(outputs_mask)
+
+        return {
+            "pred_logits": pred_cls[-1],
+            "pred_masks": pred_msk[-1],   # (B, Q, T, H/4, W/4)
+            "aux_outputs": [
+                {"pred_logits": a, "pred_masks": m}
+                for a, m in zip(pred_cls[:-1], pred_msk[:-1])
+            ],
+            "dn_out": None,
+        }
