@@ -10,9 +10,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# make the CPU backend available for fast param init (eager init over the
+# remote TPU tunnel pays per-op round trips; jitted init compiles for ~10 min)
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat and "cpu" not in _plat:
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 
 A100_BASELINE_IMG_PER_SEC = 17.2
 
@@ -29,8 +36,16 @@ def main():
     batch = 4
     size = 1024
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32) * 255)
-    params = model.init({"params": jax.random.PRNGKey(0)}, images, None, train=False)
+    images_np = rng.rand(batch, size, size, 3).astype(np.float32) * 255
+    # init on host CPU (small shapes), then transfer weights to the TPU
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        small = jnp.asarray(images_np[:1, :64, :64])
+        params = model.init({"params": jax.random.PRNGKey(0)}, small, None,
+                            train=False)
+    device = jax.devices()[0]
+    params = jax.device_put(params, device)
+    images = jax.device_put(jnp.asarray(images_np), device)
 
     @jax.jit
     def fwd(p, im):

@@ -1,0 +1,1 @@
+"""Dataset registration modules (reference data/datasets/__init__.py:2-10)."""

@@ -7,6 +7,8 @@ Heavier per-dataset class tables live in their own modules.
 import os
 
 from .coco import register_all_coco
+from .register_all import register_all
 
 _root = os.environ.get("DETECTRON2_DATASETS", "datasets")
 register_all_coco(_root)
+register_all(_root)
