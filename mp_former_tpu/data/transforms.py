@@ -149,11 +149,16 @@ def polygons_to_bitmask(
 ) -> np.ndarray:
     """Rasterize COCO polygons to a bool mask.
 
-    NOTE: the reference uses pycocotools.frPyObjects (subpixel RLE
-    rasterization, coco_instance_new_baseline_dataset_mapper.py:20-34);
-    pycocotools is not available in this image, so we use cv2.fillPoly — the
-    fill differs by <=1px along edges. Union over polygon parts like COCO.
+    Prefers the native C++ maskApi (mp_former_tpu/native/maskapi.cc) which
+    follows pycocotools' subpixel rasterization scheme (the reference relies
+    on pycocotools.frPyObjects, coco_instance_new_baseline_dataset_mapper.py
+    :20-34); falls back to cv2.fillPoly (<=1px edge differences).
     """
+    from ..native import polygons_to_mask_native
+
+    native = polygons_to_mask_native(polygons, h, w)
+    if native is not None:
+        return native
     mask = np.zeros((h, w), dtype=np.uint8)
     pts = [np.round(np.asarray(p, np.float64).reshape(-1, 2)).astype(np.int32)
            for p in polygons if len(p) >= 6]
