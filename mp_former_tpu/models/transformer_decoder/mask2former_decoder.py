@@ -182,9 +182,15 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             am = jnp.broadcast_to(am, (B, heads) + am.shape[2:])
             return outputs_class, outputs_mask, am
 
-        # ---- DN preparation ('points' mode, reference :968-1060) ------
-        use_dn = dn_args is not None and self.dn_mode in ("points",) \
-            and self.has_label_enc
+        # ---- DN preparation (reference :968-1060 'points'; :737/:809/:1625
+        # for 'lb'/'mask'/'base'). NOTE: in the reference, every mode except
+        # 'points' is dead code — their prepare_for_dn_v* return 7-tuples
+        # while forward unpacks 8 (mask2former_transformer_decoder.py:1757-1759),
+        # so selecting them crashes upstream. We implement reconstructed
+        # *working* behavior for them: same group layout and GT attention
+        # masks, mode-specific content noise, no per-layer refresh.
+        use_dn = dn_args is not None and self.has_label_enc \
+            and self.dn_mode in ("points", "lb", "mask", "base")
         tgt_mask = None
         dn_meta = None
         if use_dn:
@@ -196,18 +202,23 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             pad_size = scalar * N
             noise_scale = dn_args.noise_scale
 
-            # pre-compute area-downsampled blocked masks per level
+            # pre-compute downsampled blocked masks per level: area (<=1e-8)
+            # for points/mask/base (:986), nearest (<0.5) for lb (:763)
             gt_masks = targets.masks.astype(jnp.float32)  # (B, N, H, W)
+            ds_method = "nearest" if self.dn_mode == "lb" else "area"
             blocked_lvl = []
             for (h, w) in size_list:
-                ds = resize(gt_masks, (h, w), "area").reshape(B, N, h * w)
-                blk = ds <= 1e-8
+                ds = resize(gt_masks, (h, w), ds_method).reshape(B, N, h * w)
+                blk = (ds < 0.5) if self.dn_mode == "lb" else (ds <= 1e-8)
                 blk = jnp.where(targets.valid[:, :, None], blk, True)
                 blocked_lvl.append(blk)
+
+            mask_noise = noise_scale if self.dn_mode in ("points", "mask") else 0.0
 
             def dn_padding_mask(level: int) -> jax.Array:
                 """(B, heads, pad_size, S_l) blocked mask with fresh point noise
                 (reference gen_mask_dn :1584-1622)."""
+                noise_scale = mask_noise
                 h, w = size_list[level]
                 s = h * w
                 blk = blocked_lvl[level]  # (B, N, S)
@@ -236,16 +247,34 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
                 m = m.reshape(B, pad_size, s)
                 return jnp.broadcast_to(m[:, None], (B, heads, pad_size, s))
 
-            # label content with optional class-flip noise (reference :1004-1018)
+            # content per mode
             labels = jnp.broadcast_to(
                 targets.labels[:, None, :], (B, scalar, N))
-            if self.dn_label_noise_ratio > 0:
+            if self.dn_mode == "points" and self.dn_label_noise_ratio > 0:
+                # class-flip noise (reference :1004-1018)
                 kf, kl = jax.random.split(self.make_rng("dn"))
                 flip = jax.random.uniform(kf, labels.shape) < self.dn_label_noise_ratio
                 rand_lb = jax.random.randint(kl, labels.shape, 0, self.num_classes)
                 labels = jnp.where(flip, rand_lb, labels)
             labels = jnp.clip(labels, 0, self.num_classes - 1)
-            content = jnp.asarray(label_enc)[labels]  # (B, scalar, N, C)
+            if self.dn_mode == "base":
+                # mask-averaged feature content with multiplicative noise
+                # (reference :1643-1650 / vanilla :373-380)
+                mf = mask_features.astype(jnp.float32)
+                m = resize(gt_masks, mf.shape[1:3], "bilinear")  # (B,N,h,w)
+                num = jnp.einsum("bnhw,bhwc->bnc", m, mf)
+                den = m.sum(axis=(2, 3))[..., None] + 1e-8
+                feats = jax.lax.stop_gradient(num / den)  # (B, N, C)
+                content = jnp.broadcast_to(feats[:, None], (B, scalar, N, C))
+                if noise_scale > 0:
+                    u = jax.random.uniform(self.make_rng("dn"), content.shape)
+                    content = content + (u * 2 - 1) * noise_scale * content
+            else:
+                content = jnp.asarray(label_enc)[labels]  # (B, scalar, N, C)
+                if self.dn_mode == "lb" and noise_scale > 0:
+                    # multiplicative embedding noise (reference :774-775)
+                    u = jax.random.uniform(self.make_rng("dn"), content.shape)
+                    content = content + (u * 2 - 1) * noise_scale * content
             content = jnp.where(
                 targets.valid[:, None, :, None], content, 0.0
             ).reshape(B, pad_size, C).astype(self.dtype)
@@ -283,7 +312,9 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             output = ffn_layers[i](output, train=train)
 
             level = (i + 1) % self.num_feature_levels
-            refresh = use_dn and (self.all_lys or i < 3)
+            # per-layer DN mask refresh: 'points' mode only (reference
+            # :1805-1816; other modes' refresh path is the dead branch)
+            refresh = use_dn and self.dn_mode == "points" and (self.all_lys or i < 3)
             outputs_class, outputs_mask, attn_mask = forward_prediction_heads(
                 output, size_list[level])
             if refresh:

@@ -1,0 +1,74 @@
+"""All DN_MODE variants run and preserve match-query isolation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mp_former_tpu.models.transformer_decoder.mask2former_decoder import (
+    MultiScaleMaskedTransformerDecoderMaskDN,
+    MultiScaleMaskedTransformerDecoderMaskDNLYSmooth)
+from mp_former_tpu.structures import DNArgs, Targets
+
+
+def _inputs():
+    rng = np.random.RandomState(0)
+    x = [jnp.asarray(rng.randn(1, s, s, 32), jnp.float32) for s in (4, 8, 16)]
+    mf = jnp.asarray(rng.randn(1, 32, 32, 32), jnp.float32)
+    masks = np.zeros((1, 3, 128, 128), bool)
+    masks[:, :2, 10:60, 10:60] = True
+    tgt = Targets(
+        labels=jnp.asarray(rng.randint(0, 5, (1, 3)), jnp.int32),
+        masks=jnp.asarray(masks),
+        boxes=jnp.zeros((1, 3, 4), jnp.float32),
+        valid=jnp.asarray([[True, True, False]]))
+    return x, mf, tgt
+
+
+@pytest.mark.parametrize("mode", ["points", "lb", "mask", "base"])
+@pytest.mark.parametrize("head_dn", [False, True])
+def test_dn_mode_runs(mode, head_dn):
+    x, mf, tgt = _inputs()
+    dec = MultiScaleMaskedTransformerDecoderMaskDN(
+        in_channels=32, num_classes=5, hidden_dim=32, num_queries=6, nheads=4,
+        dim_feedforward=64, dec_layers=3, mask_dim=32, dn_mode=mode,
+        dn_label_noise_ratio=0.2, all_lys=True, head_dn=head_dn)
+    dn = DNArgs(targets=tgt, scalar=2, noise_scale=0.2)
+    params = dec.init({"params": jax.random.PRNGKey(0),
+                       "dn": jax.random.PRNGKey(1)}, x, mf, dn, train=True)
+    out = dec.apply(params, x, mf, dn, train=True,
+                    rngs={"dn": jax.random.PRNGKey(2)})
+    assert out["dn_out"]["pred_logits"].shape == (1, 6, 6)
+    assert out["dn_out"]["pred_masks"].shape == (1, 6, 32, 32)
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
+def test_match_queries_isolated_from_dn():
+    """tgt_mask blocks match->DN, so match predictions must be identical
+    with and without DN (noise_scale 0 so cross-attn masks deterministic)."""
+    x, mf, tgt = _inputs()
+    dec = MultiScaleMaskedTransformerDecoderMaskDN(
+        in_channels=32, num_classes=5, hidden_dim=32, num_queries=6, nheads=4,
+        dim_feedforward=64, dec_layers=3, mask_dim=32, dn_mode="points",
+        all_lys=True)
+    dn = DNArgs(targets=tgt, scalar=1, noise_scale=0.0)
+    params = dec.init({"params": jax.random.PRNGKey(0),
+                       "dn": jax.random.PRNGKey(1)}, x, mf, dn, train=True)
+    with_dn = dec.apply(params, x, mf, dn, train=True,
+                        rngs={"dn": jax.random.PRNGKey(2)})
+    without = dec.apply(params, x, mf, None, train=True)
+    np.testing.assert_allclose(
+        np.asarray(with_dn["pred_masks"]), np.asarray(without["pred_masks"]),
+        rtol=2e-4, atol=2e-4)
+
+
+def test_lysmooth_variant_runs():
+    x, mf, tgt = _inputs()
+    dec = MultiScaleMaskedTransformerDecoderMaskDNLYSmooth(
+        in_channels=32, num_classes=5, hidden_dim=32, num_queries=6, nheads=4,
+        dim_feedforward=64, dec_layers=3, mask_dim=32, dn_mode="points",
+        last_q_ratio=0.3)
+    params = dec.init({"params": jax.random.PRNGKey(0)}, x, mf, None)
+    out = dec.apply(params, x, mf, None)
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
