@@ -5,7 +5,7 @@ from .backbone import resnet, swin  # noqa: F401
 from .pixel_decoder import msdeformattn, fpn  # noqa: F401
 from .transformer_decoder import mask2former_decoder  # noqa: F401
 from .transformer_decoder import maskformer_transformer_decoder  # noqa: F401
-from .meta_arch import mask_former_head, maskformer  # noqa: F401
+from .meta_arch import mask_former_head, maskformer, per_pixel_baseline  # noqa: F401
 
 from ..utils.registry import META_ARCH_REGISTRY
 
