@@ -40,7 +40,8 @@ class FrozenBN(nn.Module):
         return x * scale + (b - mean * scale)
 
 
-def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1, name: str = None):
+def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
+          name: str = None, dtype=None):
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -49,6 +50,7 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1, name: 
         padding=[(pad, pad), (pad, pad)],
         kernel_dilation=(dilation, dilation),
         use_bias=False,
+        dtype=dtype,
         name=name,
     )
 
@@ -62,22 +64,23 @@ class BottleneckBlock(nn.Module):
     stride_in_1x1: bool = False
     dilation: int = 1
     has_shortcut: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         stride_1x1, stride_3x3 = (
             (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
         )
-        out = _conv(self.bottleneck_channels, 1, stride_1x1, name="conv1")(x)
+        out = _conv(self.bottleneck_channels, 1, stride_1x1, name="conv1", dtype=self.dtype)(x)
         out = FrozenBN(self.bottleneck_channels, name="conv1_frozen_bn")(out)
         out = nn.relu(out)
-        out = _conv(self.bottleneck_channels, 3, stride_3x3, self.dilation, name="conv2")(out)
+        out = _conv(self.bottleneck_channels, 3, stride_3x3, self.dilation, name="conv2", dtype=self.dtype)(out)
         out = FrozenBN(self.bottleneck_channels, name="conv2_frozen_bn")(out)
         out = nn.relu(out)
-        out = _conv(self.out_channels, 1, name="conv3")(out)
+        out = _conv(self.out_channels, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenBN(self.out_channels, name="conv3_frozen_bn")(out)
         if self.has_shortcut:
-            sc = _conv(self.out_channels, 1, self.stride, name="shortcut")(x)
+            sc = _conv(self.out_channels, 1, self.stride, name="shortcut", dtype=self.dtype)(x)
             sc = FrozenBN(self.out_channels, name="shortcut_frozen_bn")(sc)
         else:
             sc = x
@@ -98,11 +101,12 @@ class ResNet(nn.Module):
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     res5_dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
         # stem: 7x7/2 conv + FrozenBN + relu + maxpool 3x3/2 (pad 1)
-        out = _conv(self.stem_out_channels, 7, 2, name="stem_conv1")(x)
+        out = _conv(self.stem_out_channels, 7, 2, name="stem_conv1", dtype=self.dtype)(x.astype(self.dtype))
         out = FrozenBN(self.stem_out_channels, name="stem_conv1_frozen_bn")(out)
         out = nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -127,6 +131,7 @@ class ResNet(nn.Module):
                     stride_in_1x1=self.stride_in_1x1,
                     dilation=dilation,
                     has_shortcut=(block_idx == 0 and (in_ch != out_ch or stride != 1)),
+                    dtype=self.dtype,
                     name=f"{name}_{block_idx}",
                 )(out)
                 in_ch = out_ch
@@ -150,7 +155,10 @@ class ResNet(nn.Module):
 @BACKBONE_REGISTRY.register(name="build_resnet_backbone")
 def build_resnet_backbone(cfg) -> ResNet:
     r = cfg.MODEL.RESNETS
+    import jax.numpy as _jnp
+    dtype = _jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else _jnp.float32
     return ResNet(
+        dtype=dtype,
         depth=r.DEPTH,
         out_features=tuple(r.OUT_FEATURES),
         stride_in_1x1=r.STRIDE_IN_1X1,

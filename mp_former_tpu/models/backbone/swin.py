@@ -258,4 +258,5 @@ def build_swin_backbone(cfg) -> SwinTransformer:
         ape=s.APE,
         out_features=tuple(s.OUT_FEATURES),
         frozen_stages=cfg.MODEL.BACKBONE.FREEZE_AT,
+        dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
     )

@@ -90,6 +90,7 @@ class BasePixelDecoder(nn.Module):
             conv_dim=cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM,
             mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
             norm=cfg.MODEL.SEM_SEG_HEAD.NORM,
+            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
     def _top_block(self, x, *, train: bool):
@@ -147,6 +148,7 @@ class TransformerEncoderPixelDecoder(BasePixelDecoder):
             transformer_dim_feedforward=cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD,
             transformer_enc_layers=cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS,
             transformer_pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
+            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
     def _top_block(self, x, *, train: bool):

@@ -142,6 +142,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             transformer_in_features=tuple(
                 cfg.MODEL.SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES),
             common_stride=cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE,
+            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
     @nn.compact

@@ -102,6 +102,7 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             dn_ratio=cfg.MODEL.MASK_FORMER.DN_RATIO,
             dn_label_noise_ratio=cfg.MODEL.MASK_FORMER.LB_NOISE_RATIO,
             last_q_ratio=cfg.MODEL.MASK_FORMER.LAST_Q_RATIO,
+            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
     # ------------------------------------------------------------------
@@ -374,6 +375,7 @@ class MultiScaleMaskedTransformerDecoder(MultiScaleMaskedTransformerDecoderMaskD
             pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
             enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
             mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
+            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
 

@@ -54,8 +54,18 @@ def ms_deform_attn(
 
     for lid, (H, W) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, int(offsets[lid]), sizes[lid], axis=1)
-        # (B, H*W, M, D) -> (B, M, H*W, D)
-        v = jnp.swapaxes(v, 1, 2)
+        # (B, H*W, M, D) -> (B, M, H, W, D)
+        v = jnp.swapaxes(v, 1, 2).reshape(B, M, H, W, D)
+        # 2x2 patch table on a zero-padded map: one gather of a 4D-wide row
+        # fetches all four bilinear taps (TPU gathers are row-granular, so
+        # this cuts gather count 4x and fills the 128-lane row exactly when
+        # D=32). vpad[a, b] = v[a-1, b-1]; patch[y, x] = taps of base (y-1, x-1).
+        vpad = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        patch = jnp.concatenate(
+            [vpad[:, :, :-1, :-1], vpad[:, :, :-1, 1:],
+             vpad[:, :, 1:, :-1], vpad[:, :, 1:, 1:]], axis=-1)
+        patch = patch.reshape(B, M, (H + 1) * (W + 1), 4 * D)
+
         loc = sampling_locations[:, :, :, lid]  # (B, Q, M, P, 2)
         w = attention_weights[:, :, :, lid]     # (B, Q, M, P)
         # grid_sample convention: grid = 2*loc - 1; align_corners=False:
@@ -67,32 +77,29 @@ def ms_deform_attn(
         tx = fx - x0
         ty = fy - y0
 
-        def tap(ix, iy):
-            valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
-            ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
-            iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-            idx = iyc * W + ixc                      # (B, Q, M, P)
-            idx = jnp.swapaxes(idx, 1, 2)            # (B, M, Q, P)
-            idx = idx.reshape(B, M, Q * P, 1)
-            vals = jnp.take_along_axis(v, idx, axis=2)          # (B, M, Q*P, D)
-            valid_t = jnp.swapaxes(valid, 1, 2).reshape(B, M, Q * P, 1)
-            return jnp.where(valid_t, vals, 0.0)
+        bx = jnp.clip(x0 + 1, 0, W).astype(jnp.int32)
+        by = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)
+        idx = by * (W + 1) + bx                         # (B, Q, M, P)
+        idx = jnp.swapaxes(idx, 1, 2).reshape(B, M, Q * P, 1)
+        taps = jnp.take_along_axis(patch, idx, axis=2)  # (B, M, Q*P, 4D)
+        taps = taps.reshape(B, M, Q * P, 4, D)
 
-        v00 = tap(x0, y0)
-        v01 = tap(x0 + 1, y0)
-        v10 = tap(x0, y0 + 1)
-        v11 = tap(x0 + 1, y0 + 1)
+        # if the patch base is unclipped (x0 in [-1, W-1], y0 in [-1, H-1]),
+        # every tap either reads a real pixel or the zero padding — exactly
+        # grid_sample's zero-padding semantics. A clipped base means all
+        # in-range taps would read the zero border anyway, so zero the point.
+        pvalid = ((x0 >= -1) & (x0 <= W - 1)
+                  & (y0 >= -1) & (y0 <= H - 1)).astype(compute_dtype)
+        w00 = (1 - tx) * (1 - ty) * pvalid
+        w01 = tx * (1 - ty) * pvalid
+        w10 = (1 - tx) * ty * pvalid
+        w11 = tx * ty * pvalid
+        tw = jnp.stack([w00, w01, w10, w11], axis=-1)   # (B, Q, M, P, 4)
+        tw = jnp.swapaxes(tw, 1, 2).reshape(B, M, Q * P, 4)
 
-        wx = jnp.swapaxes(tx, 1, 2).reshape(B, M, Q * P, 1)
-        wy = jnp.swapaxes(ty, 1, 2).reshape(B, M, Q * P, 1)
-        sampled = (
-            v00 * (1 - wx) * (1 - wy)
-            + v01 * wx * (1 - wy)
-            + v10 * (1 - wx) * wy
-            + v11 * wx * wy
-        )  # (B, M, Q*P, D)
+        sampled = jnp.einsum("bmnt,bmntd->bmnd", tw.astype(taps.dtype), taps)
         sampled = sampled.reshape(B, M, Q, P, D)
-        wl = jnp.swapaxes(w, 1, 2)[..., None].astype(compute_dtype)  # (B, M, Q, P, 1)
+        wl = jnp.swapaxes(w, 1, 2)[..., None].astype(sampled.dtype)  # (B, M, Q, P, 1)
         out = out + jnp.swapaxes(jnp.sum(sampled * wl, axis=3), 1, 2).astype(value.dtype)
 
     return out.reshape(B, Q, M * D)
