@@ -86,8 +86,40 @@ def postprocess_instance(
             np.asarray(out.pred_masks))
 
 
+def postprocess_semantic(logits, masks, image_size, out_h, out_w):
+    """(Q, K+1), (Q, h4, w4) -> (K, out_h, out_w) probs, reference order."""
+    canvas_h, canvas_w = masks.shape[1] * 4, masks.shape[2] * 4
+    m = resize(jnp.asarray(masks), (canvas_h, canvas_w), "bilinear")
+    r = semantic_inference(jnp.asarray(logits), m)
+    r = r[:, : image_size[0], : image_size[1]]
+    return np.asarray(resize(r, (out_h, out_w), "bilinear"))
+
+
+def postprocess_panoptic(logits, masks, image_size, out_h, out_w,
+                         num_classes, object_mask_threshold, overlap_threshold,
+                         is_thing):
+    """Panoptic fusion at original resolution (reference :270-272; masks are
+    resized before fusion because sem_seg_postprocess_before_inference is
+    forced on for panoptic, maskformer_model.py:150-153)."""
+    from ..inference import panoptic_inference
+
+    canvas_h, canvas_w = masks.shape[1] * 4, masks.shape[2] * 4
+    m = resize(jnp.asarray(masks), (canvas_h, canvas_w), "bilinear")
+    m = m[:, : image_size[0], : image_size[1]]
+    m = resize(m, (out_h, out_w), "bilinear")
+    return panoptic_inference(
+        jnp.asarray(logits), m, num_classes, object_mask_threshold,
+        overlap_threshold, is_thing)
+
+
 def inference_on_dataset(cfg, model, params, records: List[dict], evaluator,
-                         max_images: Optional[int] = None) -> Dict:
+                         max_images: Optional[int] = None,
+                         task: str = "instance",
+                         is_thing: Optional[np.ndarray] = None,
+                         sem_seg_loader=None) -> Dict:
+    """task: 'instance' | 'semantic' | 'panoptic' (reference MaskFormer
+    TEST.*_ON switches). For 'semantic', `sem_seg_loader(record) -> (H, W)
+    int gt` feeds the mIoU evaluator."""
     mapper = EvalMapper(cfg)
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
     topk = cfg.TEST.DETECTIONS_PER_IMAGE
@@ -107,13 +139,28 @@ def inference_on_dataset(cfg, model, params, records: List[dict], evaluator,
         if sample is None:
             continue
         logits, masks = fwd(params, jnp.asarray(sample["image"][None]))
-        scores, classes, bin_masks = postprocess_instance(
-            np.asarray(logits[0]), np.asarray(masks[0]),
-            sample["image_size"], sample["height"], sample["width"],
-            num_classes, topk)
-        evaluator.process(
-            sample["image_id"], scores, classes,
-            [bin_masks[i] for i in range(bin_masks.shape[0])])
+        logits0 = np.asarray(logits[0])
+        masks0 = np.asarray(masks[0])
+        if task == "instance":
+            scores, classes, bin_masks = postprocess_instance(
+                logits0, masks0, sample["image_size"], sample["height"],
+                sample["width"], num_classes, topk)
+            evaluator.process(
+                sample["image_id"], scores, classes,
+                [bin_masks[i] for i in range(bin_masks.shape[0])])
+        elif task == "semantic":
+            probs = postprocess_semantic(
+                logits0, masks0, sample["image_size"], sample["height"],
+                sample["width"])
+            gt = sem_seg_loader(rec)
+            evaluator.process(probs.argmax(0), gt)
+        elif task == "panoptic":
+            pan_map, segments = postprocess_panoptic(
+                logits0, masks0, sample["image_size"], sample["height"],
+                sample["width"], num_classes,
+                cfg.MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD,
+                cfg.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD, is_thing)
+            evaluator.process_prediction(rec, pan_map, segments)
         n += 1
         if n % 50 == 0:
             logger.info("eval %d images (%.2f s/img)", n,

@@ -73,6 +73,38 @@ class COCOEvaluator:
 InstanceSegEvaluator = COCOEvaluator
 
 
+class COCOPanopticEvaluator:
+    """d2 COCOPanopticEvaluator role: PQ against panoptic png GT
+    (replaces the reference's disabled new_pano_ev, train_net.py:82-135)."""
+
+    def __init__(self, is_thing: Optional[Dict[int, bool]] = None):
+        from .panoptic_eval import PanopticEvaluator
+
+        self._pq = PanopticEvaluator(is_thing)
+
+    def reset(self):
+        self._pq.reset()
+
+    def process_prediction(self, record: dict, pred_map: np.ndarray,
+                           pred_segments: List[dict]):
+        import cv2
+
+        from ..data.dataset_mappers.mask_former_mappers import rgb2id
+
+        pan = cv2.imread(record["pan_seg_file_name"], cv2.IMREAD_COLOR)
+        gt_map = rgb2id(cv2.cvtColor(pan, cv2.COLOR_BGR2RGB))
+        gt_segments = record["segments_info"]
+        if gt_map.shape != pred_map.shape:
+            pred_map = cv2.resize(
+                pred_map.astype(np.int32), (gt_map.shape[1], gt_map.shape[0]),
+                interpolation=cv2.INTER_NEAREST)
+        self._pq.process(pred_map, pred_segments, gt_map.astype(np.int64),
+                         gt_segments)
+
+    def evaluate(self):
+        return self._pq.evaluate()
+
+
 class SemSegEvaluator:
     """d2 SemSegEvaluator: N+1 confusion matrix with ignore label."""
 
