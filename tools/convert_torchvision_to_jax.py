@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Convert a torchvision ResNet checkpoint to our flax param layout
+(reference tools/convert-torchvision-to-d2.py role).
+
+Usage: python tools/convert_torchvision_to_jax.py r50.pth out.npz [--depth 50]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--depth", type=int, default=50)
+    args = p.parse_args()
+
+    from mp_former_tpu.engine.checkpoint_import import load_state_dict
+    from mp_former_tpu.engine.convert import resnet_params_from_torchvision
+
+    sd = load_state_dict(args.src)
+    params = resnet_params_from_torchvision(sd, depth=args.depth)
+    flat = {}
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, prefix + k + "/")
+            else:
+                flat[prefix + k] = np.asarray(v)
+
+    walk(params)
+    np.savez(args.dst, **flat)
+    print(f"wrote {len(flat)} arrays -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
