@@ -54,7 +54,7 @@ class MSDeformAttnTransformerEncoderLayer(nn.Module):
         drop = nn.Dropout(self.dropout, deterministic=not train)
         src2 = MSDeformAttn(
             d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
-            n_points=self.n_points, name="self_attn",
+            n_points=self.n_points, dtype=self.dtype, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = src + drop(src2)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)

@@ -117,6 +117,7 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     def _offset_bias_init(self, key, shape, dtype=jnp.float32):
         # per-head unit vectors on a compass rose, scaled by point index
@@ -142,20 +143,21 @@ class MSDeformAttn(nn.Module):
         M, L, P = self.n_heads, self.n_levels, self.n_points
         D = self.d_model // M
 
-        value = nn.Dense(self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+        value = nn.Dense(self.d_model, dtype=self.dtype,
+                         kernel_init=nn.initializers.xavier_uniform(),
                          name="value_proj")(input_flatten)
         if input_padding_mask is not None:
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, M, D)
 
         offsets = nn.Dense(
-            M * L * P * 2,
+            M * L * P * 2, dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=self._offset_bias_init,
             name="sampling_offsets",
         )(query).reshape(B, Q, M, L, P, 2)
         attn = nn.Dense(
-            M * L * P,
+            M * L * P, dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="attention_weights",
@@ -180,5 +182,6 @@ class MSDeformAttn(nn.Module):
             raise ValueError("reference_points last dim must be 2 or 4")
 
         out = ms_deform_attn(value, spatial_shapes, loc, attn)
-        return nn.Dense(self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+        return nn.Dense(self.d_model, dtype=self.dtype,
+                        kernel_init=nn.initializers.xavier_uniform(),
                         name="output_proj")(out)
