@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Hosted-demo style predictor (reference predict.py / cog.yaml packaging):
+one image in, panoptic + instance + semantic visualizations out.
+
+Usage: python predict.py --image input.jpg --config-file <yaml> \
+    [--weights ckpt.pth] [--output out_prefix]
+"""
+
+import argparse
+import os
+import sys
+
+import cv2
+import numpy as np
+
+
+class Predictor:
+    """setup()/predict() interface mirroring the reference's cog BasePredictor."""
+
+    def setup(self, config_file, weights="", opts=()):
+        import jax
+        import jax.numpy as jnp
+
+        from mp_former_tpu.config import (add_deeplab_config,
+                                          add_maskformer2_config, get_cfg)
+        from mp_former_tpu.models import build_model
+
+        cfg = get_cfg()
+        add_deeplab_config(cfg)
+        add_maskformer2_config(cfg)
+        cfg.merge_from_file(config_file)
+        cfg.merge_from_list(list(opts))
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self._fwd = jax.jit(
+            lambda p, im: self.model.apply(p, im, None, train=False))
+        self._params = None
+        self._weights = weights
+        self._jnp = jnp
+        self._jax = jax
+
+    def predict(self, image_bgr: np.ndarray):
+        jnp, jax = self._jnp, self._jax
+        h, w = image_bgr.shape[:2]
+        scale = self.cfg.INPUT.MIN_SIZE_TEST / min(h, w)
+        nh = (int(h * scale + 0.5) + 31) // 32 * 32
+        nw = (int(w * scale + 0.5) + 31) // 32 * 32
+        rgb = cv2.resize(cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB), (nw, nh))
+        batch = jnp.asarray(rgb[None].astype(np.float32))
+        if self._params is None:
+            self._params = self.model.init(
+                {"params": jax.random.PRNGKey(0)}, batch, None, train=False)
+            if self._weights:
+                from mp_former_tpu.engine.checkpoint_import import \
+                    load_reference_weights
+                self._params = {"params": load_reference_weights(
+                    self._weights, self._params["params"])}
+        out = self._fwd(self._params, batch)
+        return (np.asarray(out["pred_logits"][0]),
+                np.asarray(out["pred_masks"][0]), (nh, nw))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--image", required=True)
+    p.add_argument("--config-file",
+                   default="configs/coco/panoptic-segmentation/maskformer2_R50_bs16_50ep.yaml")
+    p.add_argument("--weights", default="")
+    p.add_argument("--output", default="prediction")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = p.parse_args()
+
+    from demo.demo import overlay_instances, overlay_semantic
+    from mp_former_tpu.data.datasets.builtin_meta import coco_panoptic_is_thing
+    from mp_former_tpu.engine.eval_loop import (postprocess_instance,
+                                                postprocess_panoptic,
+                                                postprocess_semantic)
+
+    pred = Predictor()
+    pred.setup(args.config_file, args.weights, args.opts or [])
+    img = cv2.imread(args.image)
+    h, w = img.shape[:2]
+    logits, masks, size = pred.predict(img)
+    cfg = pred.cfg
+    k = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+
+    scores, classes, bin_masks = postprocess_instance(
+        logits, masks, size, h, w, k, cfg.TEST.DETECTIONS_PER_IMAGE)
+    cv2.imwrite(f"{args.output}_instance.png",
+                overlay_instances(img, scores, classes, bin_masks))
+
+    sem = postprocess_semantic(logits, masks, size, h, w)
+    cv2.imwrite(f"{args.output}_semantic.png", overlay_semantic(img, sem))
+
+    is_thing = coco_panoptic_is_thing() if k == 133 else np.ones(k, bool)
+    pan_map, segments = postprocess_panoptic(
+        logits, masks, size, h, w, k,
+        cfg.MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD,
+        cfg.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD, is_thing)
+    rng = np.random.RandomState(11)
+    colors = rng.randint(0, 255, (int(pan_map.max()) + 1, 3), np.uint8)
+    colors[0] = 0
+    cv2.imwrite(f"{args.output}_panoptic.png",
+                (0.5 * img + 0.5 * colors[pan_map][:, :, ::-1]).astype(np.uint8))
+    print(f"wrote {args.output}_{{instance,semantic,panoptic}}.png "
+          f"({len(segments)} panoptic segments)")
+
+
+if __name__ == "__main__":
+    main()
