@@ -1,0 +1,78 @@
+"""Per-clip video inference loop (reference train_net_video.py eval path +
+video_maskformer_model.py inference_video :255-287 + YTVISEvaluator)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.interp import resize
+from .ytvis_eval import YTVISEvaluator
+
+logger = logging.getLogger(__name__)
+
+
+def inference_video(logits: np.ndarray, masks, img_size, out_h, out_w,
+                    num_classes: int, topk: int = 10):
+    """(Q, K+1) + (Q, T, h4, w4) -> top-k tubes at original resolution."""
+    import scipy.special
+
+    scores = scipy.special.softmax(logits.astype(np.float64), -1)[:, :-1]
+    flat = scores.reshape(-1)
+    top = np.argsort(-flat)[:topk]
+    tube_scores = flat[top]
+    tube_classes = (top % num_classes).astype(np.int64)
+    tube_q = top // num_classes
+
+    sel = jnp.asarray(np.asarray(masks)[tube_q])  # (topk, T, h4, w4)
+    canvas_h, canvas_w = sel.shape[2] * 4, sel.shape[3] * 4
+    m = resize(sel, (canvas_h, canvas_w), "bilinear")
+    m = m[:, :, : img_size[0], : img_size[1]]
+    m = resize(m, (out_h, out_w), "bilinear")
+    return tube_scores, tube_classes, np.asarray(m > 0)
+
+
+def inference_on_video_dataset(cfg, model, params, records: List[dict],
+                               max_videos: Optional[int] = None,
+                               max_frames: int = 8) -> Dict:
+    """Evaluate video AP over a YTVIS-style dataset. Clips longer than
+    `max_frames` are evaluated on their first `max_frames` frames (static
+    shapes; the reference feeds whole clips and OOM-retries)."""
+    evaluator = YTVISEvaluator(records)
+    num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+    fwd = jax.jit(lambda p, im: model.apply(p, im, None, train=False))
+
+    n = 0
+    for rec in records:
+        if max_videos is not None and n >= max_videos:
+            break
+        t = min(rec["length"], max_frames)
+        h, w = rec["height"], rec["width"]
+        scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
+        nh = (int(h * scale + 0.5) + 31) // 32 * 32
+        nw = (int(w * scale + 0.5) + 31) // 32 * 32
+        frames = []
+        for fi in range(t):
+            img = cv2.imread(rec["file_names"][fi], cv2.IMREAD_COLOR)
+            if img is None:
+                break
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            frames.append(cv2.resize(img, (nw, nh)))
+        if len(frames) < t:
+            continue
+        clip = jnp.asarray(np.stack(frames)[None].astype(np.float32))
+        out = fwd(params, clip)
+        scores, classes, tubes = inference_video(
+            np.asarray(out["pred_logits"][0]), out["pred_masks"][0],
+            (nh, nw), h, w, num_classes)
+        evaluator.process(rec["video_id"], scores, classes,
+                          [tubes[i] for i in range(tubes.shape[0])])
+        n += 1
+    results = evaluator.evaluate()
+    logger.info("evaluated %d videos: %s", n, results)
+    return results

@@ -49,9 +49,21 @@ def main(args):
     model = build_model(cfg)
 
     if args.eval_only:
-        raise NotImplementedError(
-            "video eval loop: use mp_former_tpu.video.ytvis_eval.YTVISEvaluator "
-            "with per-clip inference (see tests/test_video.py)")
+        from mp_former_tpu.engine.checkpoint_import import load_reference_weights
+        from mp_former_tpu.video.eval_loop import inference_on_video_dataset
+
+        records = DatasetCatalog.get(cfg.DATASETS.TEST[0])
+        t = cfg.INPUT.SAMPLING_FRAME_NUM
+        dummy = jnp.zeros((1, t, 384, 640, 3), jnp.float32)
+        params = model.init({"params": jax.random.PRNGKey(0)}, dummy, None,
+                            train=False)
+        if cfg.MODEL.WEIGHTS:
+            params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS,
+                                                       params["params"])}
+        results = inference_on_video_dataset(
+            cfg, model, params, records, args.max_eval_videos, max_frames=t)
+        print(results)
+        return results
 
     from mp_former_tpu.data.loader import TrainLoader
     from mp_former_tpu.engine.optimizer import build_optimizer
