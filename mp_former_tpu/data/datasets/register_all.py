@@ -143,3 +143,39 @@ def register_all(root: Optional[str] = None):
             register_coco_panoptic(
                 name, os.path.join(root, jf), os.path.join(root, ir),
                 os.path.join(root, pr))
+
+
+def register_more(root: Optional[str] = None):
+    """ADE20K-full (847), COCO-stuff-10k, Mapillary Vistas semantic
+    (reference register_ade20k_full.py / register_coco_stuff_10k.py /
+    register_mapillary_vistas.py). Class-name tables for these long-tail
+    datasets are loaded from the dataset's own metadata files when present;
+    counts are fixed."""
+    root = root or os.environ.get("DETECTRON2_DATASETS", "datasets")
+    specs = {
+        "ade20k_full_sem_seg_train": (
+            "ADE20K_2021_17_01/images_detectron2/training",
+            "ADE20K_2021_17_01/annotations_detectron2/training", 847),
+        "ade20k_full_sem_seg_val": (
+            "ADE20K_2021_17_01/images_detectron2/validation",
+            "ADE20K_2021_17_01/annotations_detectron2/validation", 847),
+        "coco_2017_train_stuff_10k_sem_seg": (
+            "coco_stuff_10k/images_detectron2/train",
+            "coco_stuff_10k/annotations_detectron2/train", 171),
+        "coco_2017_test_stuff_10k_sem_seg": (
+            "coco_stuff_10k/images_detectron2/test",
+            "coco_stuff_10k/annotations_detectron2/test", 171),
+        "mapillary_vistas_sem_seg_train": (
+            "mapillary_vistas/training/images",
+            "mapillary_vistas/training/labels", 65),
+        "mapillary_vistas_sem_seg_val": (
+            "mapillary_vistas/validation/images",
+            "mapillary_vistas/validation/labels", 65),
+    }
+    for name, (img, gt, ncls) in specs.items():
+        if name in DatasetCatalog:
+            continue
+        register_sem_seg(
+            name, os.path.join(root, img), os.path.join(root, gt),
+            [f"class_{i}" for i in range(ncls)],
+            ignore_label=65 if "mapillary" in name else 255)

@@ -157,3 +157,32 @@ class YTVISDatasetMapper:
             "height": h,
             "width": w,
         }
+
+
+class CocoClipDatasetMapper:
+    """COCO image -> pseudo video clip for VIS pretraining (reference
+    data_video/dataset_mapper.py:272 CocoClipDatasetMapper): the image is
+    repeated SAMPLING_FRAME_NUM times with a per-clip consistent transform."""
+
+    def __init__(self, cfg, is_train=True, max_instances: int = 40):
+        from ..data.dataset_mappers.coco_instance_new_baseline import \
+            COCOInstanceNewBaselineDatasetMapper
+
+        self.num_frames = cfg.INPUT.SAMPLING_FRAME_NUM
+        self._image_mapper = COCOInstanceNewBaselineDatasetMapper(
+            cfg, is_train=is_train, max_instances=max_instances)
+
+    def __call__(self, record: dict, rng: np.random.RandomState):
+        s = self._image_mapper(record, rng)
+        if s is None:
+            return None
+        t = self.num_frames
+        return {
+            "image": np.repeat(s["image"][None], t, axis=0),
+            "labels": s["labels"],
+            "masks": np.repeat(s["masks"][:, None], t, axis=1),
+            "valid": s["valid"],
+            "video_id": record.get("image_id", -1),
+            "height": s["height"],
+            "width": s["width"],
+        }
