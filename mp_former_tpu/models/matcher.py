@@ -43,8 +43,24 @@ def _lsa_host(cost: np.ndarray) -> np.ndarray:
     return out
 
 
-def hungarian_assign(cost: jax.Array) -> jax.Array:
-    """cost: (..., Q, N) -> (..., N) int32 assignment via host scipy."""
+def hungarian_assign(cost: jax.Array, impl: str = "auto") -> jax.Array:
+    """cost: (..., Q, N) -> (..., N) int32 assignment.
+
+    impl='scipy': host callback (exact, mirrors the reference's CPU hop) —
+    only usable on backends with host-callback support (CPU; NOT this TPU
+    runtime, axon_pjrt rejects send/recv). impl='auction': on-device
+    epsilon-scaling auction (ops/auction_lsa.py). 'auto' picks scipy on the
+    CPU backend and auction elsewhere."""
+    import os
+
+    if impl == "auto":
+        impl = os.environ.get("MPFORMER_LSA", "")
+        if not impl:
+            impl = "scipy" if jax.default_backend() == "cpu" else "auction"
+    if impl == "auction":
+        from ..ops.auction_lsa import auction_assign
+
+        return auction_assign(jax.lax.stop_gradient(cost))
     lead = cost.shape[:-2]
     q, n = cost.shape[-2:]
     flat = cost.reshape((-1, q, n))
@@ -105,8 +121,13 @@ def match_cost_matrix(
     cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
     cd = batch_dice_cost(out_pts, tgt_pts)
     cost = cost_mask * cm + cost_class * cc + cost_dice * cd
-    cost = jnp.where(targets.valid[:, None, :], cost, _INVALID_COST)
-    return jnp.where(jnp.isfinite(cost), cost, _INVALID_COST)
+    cost = jnp.where(jnp.isfinite(cost), cost, _INVALID_COST)
+    # invalid columns: just above the worst real cost (a huge sentinel would
+    # blow up the cost range and degrade the on-device auction's precision)
+    ceiling = jnp.max(jnp.where(targets.valid[:, None, :], cost, -jnp.inf),
+                      axis=(1, 2), keepdims=True)
+    ceiling = jnp.where(jnp.isfinite(ceiling), ceiling, 0.0) + 1.0
+    return jnp.where(targets.valid[:, None, :], cost, ceiling)
 
 
 class HungarianMatcher:
