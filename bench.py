@@ -26,6 +26,8 @@ A100_BASELINE_IMG_PER_SEC = 17.2
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
     from mp_former_tpu.models import build_model
     from __graft_entry__ import _flagship_cfg
