@@ -38,6 +38,7 @@ class Trainer:
         self._replicate = lambda t: replicate(self.mesh, t)
         self.train_loader = train_loader
         self.max_iter = cfg.SOLVER.MAX_ITER
+        self.profile_dir = cfg.TPU.get("PROFILE_DIR", "") if hasattr(cfg.TPU, "get") else ""
         self.checkpoint_period = cfg.SOLVER.CHECKPOINT_PERIOD
         self.output_dir = cfg.OUTPUT_DIR
         os.makedirs(self.output_dir, exist_ok=True)
@@ -109,6 +110,10 @@ class Trainer:
         t_data = 0.0
         with jax.set_mesh(self.mesh):
             for step in range(start_iter, self.max_iter):
+                if self.profile_dir and step == start_iter + 5:
+                    jax.profiler.start_trace(self.profile_dir)
+                if self.profile_dir and step == start_iter + 8:
+                    jax.profiler.stop_trace()
                 sharded = self._shard_batch(batch)
                 state, metrics = self.train_step(self.state, sharded, self.rng)
                 self.state = state
