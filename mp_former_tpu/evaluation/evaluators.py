@@ -129,7 +129,7 @@ class SemSegEvaluator:
         acc = np.full(self.num_classes, np.nan)
         iou = np.full(self.num_classes, np.nan)
         tp = self._conf.diagonal()[:-1].astype(np.float64)
-        pos_gt = self._conf[:, :-1].sum(0)[:-1].astype(np.float64)
+        pos_gt = self._conf[:, :-1].sum(0).astype(np.float64)
         pos_pred = self._conf[:-1, :].sum(1).astype(np.float64)
         class_weights = pos_gt / max(pos_gt.sum(), 1)
         valid = pos_gt > 0

@@ -1,0 +1,107 @@
+"""Semantic + panoptic eval-loop integration on synthetic data."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mp_former_tpu.config import get_cfg, add_deeplab_config, add_maskformer2_config
+from mp_former_tpu.engine.eval_loop import inference_on_dataset
+from mp_former_tpu.evaluation.evaluators import (COCOPanopticEvaluator,
+                                                 SemSegEvaluator)
+from mp_former_tpu.models import build_model
+
+
+def _tiny_cfg(num_classes, tasks):
+    cfg = get_cfg()
+    add_deeplab_config(cfg)
+    add_maskformer2_config(cfg)
+    cfg.merge_from_list([
+        "MODEL.RESNETS.OUT_FEATURES", "['res2','res3','res4','res5']",
+        "MODEL.RESNETS.STRIDE_IN_1X1", "False",
+        "MODEL.SEM_SEG_HEAD.NAME", "MaskFormerHead",
+        "MODEL.SEM_SEG_HEAD.IN_FEATURES", "['res2','res3','res4','res5']",
+        "MODEL.SEM_SEG_HEAD.PIXEL_DECODER_NAME", "MSDeformAttnPixelDecoder",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.SEM_SEG_HEAD.NUM_CLASSES", str(num_classes),
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.MASK_FORMER.TRANSFORMER_IN_FEATURE", "multi_scale_pixel_decoder",
+        "MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME", "MultiScaleMaskedTransformerDecoder",
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "4",
+        "MODEL.MASK_FORMER.TEST.SEMANTIC_ON", str("semantic" in tasks),
+        "MODEL.MASK_FORMER.TEST.PANOPTIC_ON", str("panoptic" in tasks),
+        "MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD", "0.0",
+        "MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD", "0.8",
+        "INPUT.MIN_SIZE_TEST", "64",
+        "INPUT.MAX_SIZE_TEST", "96",
+    ])
+    return cfg
+
+
+def test_semantic_eval_loop(tmp_path):
+    cfg = _tiny_cfg(3, ["semantic"])
+    model = build_model(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 96, 96, 3)), None, train=False)
+
+    rng = np.random.RandomState(0)
+    records = []
+    gts = {}
+    for i in range(2):
+        img = (rng.rand(70, 90, 3) * 255).astype(np.uint8)
+        f = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(f, img)
+        gt = rng.randint(0, 3, (70, 90)).astype(np.uint8)
+        gts[i] = gt
+        records.append({"file_name": f, "image_id": i, "height": 70, "width": 90})
+
+    ev = SemSegEvaluator(3)
+    results = inference_on_dataset(
+        cfg, model, params, records, ev, task="semantic",
+        sem_seg_loader=lambda r: gts[r["image_id"]])
+    assert "sem_seg" in results and np.isfinite(results["sem_seg"]["pACC"])
+
+
+def test_panoptic_eval_loop(tmp_path):
+    cfg = _tiny_cfg(4, ["panoptic"])
+    model = build_model(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 96, 96, 3)), None, train=False)
+
+    rng = np.random.RandomState(1)
+    records = []
+    for i in range(2):
+        img = (rng.rand(70, 90, 3) * 255).astype(np.uint8)
+        f = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(f, img)
+        # GT panoptic png: two segments (ids 1, 2) encoded as rgb
+        pan = np.zeros((70, 90, 3), np.uint8)
+        pan[:35, :, 0] = 1
+        pan[35:, :, 0] = 2
+        pf = str(tmp_path / f"{i}_pan.png")
+        cv2.imwrite(pf, cv2.cvtColor(pan, cv2.COLOR_RGB2BGR))
+        records.append({
+            "file_name": f, "pan_seg_file_name": pf, "image_id": i,
+            "height": 70, "width": 90,
+            "segments_info": [
+                {"id": 1, "category_id": 0, "iscrowd": 0},
+                {"id": 2, "category_id": 2, "iscrowd": 0},
+            ],
+        })
+
+    ev = COCOPanopticEvaluator(is_thing={0: True, 1: True, 2: False, 3: False})
+    results = inference_on_dataset(
+        cfg, model, params, records, ev, task="panoptic",
+        is_thing=np.array([True, True, False, False]))
+    assert "panoptic_seg" in results
+    assert results["panoptic_seg"]["All"]["n"] >= 1
