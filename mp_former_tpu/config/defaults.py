@@ -233,6 +233,7 @@ def add_maskformer2_config(cfg: CN) -> None:
     cfg.TPU.MAX_INSTANCES = 100        # static GT padding cap per image
     cfg.TPU.DN_MAX_GT = 20             # static cap for DN group size
     cfg.TPU.PROFILE_DIR = ""           # capture a jax.profiler trace of steps 5-8
+    cfg.TPU.MAX_PAIRS = 512            # static matched-pair budget for mask losses (0 = dense)
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:

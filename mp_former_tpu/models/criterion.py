@@ -95,6 +95,7 @@ class SetCriterion:
         oversample_ratio: float,
         importance_sample_ratio: float,
         dn_no_lb: bool = False,
+        max_pairs: int = 0,
     ):
         self.num_classes = num_classes
         self.matcher = matcher
@@ -105,6 +106,13 @@ class SetCriterion:
         self.oversample_ratio = oversample_ratio
         self.importance_sample_ratio = importance_sample_ratio
         self.dn_no_lb = dn_no_lb
+        # Static pair budget for mask losses. The padded-target design makes
+        # the dense path sample points for every (image, slot) pair — B*N
+        # pairs where the reference samples only the real GTs (~8/image).
+        # With max_pairs > 0, valid pairs across the batch are compacted to
+        # this many slots before point sampling (exact as long as the batch's
+        # valid-pair count fits the budget; overflow pairs are dropped).
+        self.max_pairs = max_pairs
 
     # ------------------------------------------------------------------
     def loss_labels(self, pred_logits, qidx, labels, valid):
@@ -124,6 +132,9 @@ class SetCriterion:
     def loss_masks(self, pred_masks, qidx, gt_masks, valid, num_masks, rng):
         """Point-sampled CE + dice with uncertainty-based oversampling
         (reference :146-191, point_rend get_uncertain_point_coords_with_randomness)."""
+        if self.max_pairs and self.max_pairs < qidx.shape[0] * qidx.shape[1]:
+            return self._loss_masks_compact(
+                pred_masks, qidx, gt_masks, valid, num_masks, rng)
         b, _, h, w = pred_masks.shape
         n = qidx.shape[1]
         k1, k2 = jax.random.split(rng)
@@ -151,6 +162,58 @@ class SetCriterion:
         return {
             "loss_mask": sigmoid_ce_loss(point_logits, point_labels, valid, num_masks),
             "loss_dice": dice_loss(point_logits, point_labels, valid, num_masks),
+        }
+
+    def _loss_masks_compact(self, pred_masks, qidx, gt_masks, valid,
+                            num_masks, rng):
+        """loss_masks over a compacted static pair budget: valid (image, slot)
+        pairs across the batch are packed into max_pairs slots, then sampled
+        with the flat-batch form of sample_mask_points."""
+        b, q, h, w = pred_masks.shape
+        n = qidx.shape[1]
+        gh, gw = gt_masks.shape[2], gt_masks.shape[3]
+        p = self.max_pairs
+
+        flat_valid = valid.reshape(-1)                        # (B*N,)
+        order = jnp.argsort(~flat_valid, stable=True)         # valid first
+        sel = order[:p]
+        sel_b = (sel // n).astype(jnp.int32)
+        sel_n = (sel % n).astype(jnp.int32)
+        pair_valid = flat_valid[sel][None]                    # (1, P)
+        sel_q = qidx.reshape(-1)[sel].astype(jnp.int32)       # matched query
+
+        pred_flat = pred_masks.reshape(1, b * q, h, w)
+        gt_flat = gt_masks.reshape(1, b * gt_masks.shape[1], gh, gw)
+        pred_idx = (sel_b * q + sel_q)[None]                  # (1, P)
+        gt_n = gt_masks.shape[1]
+        gt_idx = (sel_b * gt_n + sel_n % gt_n)[None]  # DN passes untiled GT
+
+        k1, k2 = jax.random.split(rng)
+        num_sampled = int(self.num_points * self.oversample_ratio)
+        num_uncertain = int(self.importance_sample_ratio * self.num_points)
+        num_random = self.num_points - num_uncertain
+
+        pred32 = pred_flat.astype(jnp.float32)
+        coords1 = jax.random.uniform(k1, (1, p, num_sampled, 2))
+        logits1 = sample_mask_points(pred32, pred_idx, coords1)
+        uncertainty = -jnp.abs(jax.lax.stop_gradient(logits1))
+        _, top = jax.lax.top_k(uncertainty, num_uncertain)
+        uncertain_coords = jnp.take_along_axis(coords1, top[..., None], axis=2)
+        if num_random > 0:
+            rand_coords = jax.random.uniform(k2, (1, p, num_random, 2))
+            coords = jnp.concatenate([uncertain_coords, rand_coords], axis=2)
+        else:
+            coords = uncertain_coords
+        coords = jax.lax.stop_gradient(coords)
+
+        point_labels = jax.lax.stop_gradient(
+            sample_mask_points(gt_flat.astype(jnp.float32), gt_idx, coords))
+        point_logits = sample_mask_points(pred32, pred_idx, coords)
+        return {
+            "loss_mask": sigmoid_ce_loss(point_logits, point_labels,
+                                         pair_valid, num_masks),
+            "loss_dice": dice_loss(point_logits, point_labels,
+                                   pair_valid, num_masks),
         }
 
     # ------------------------------------------------------------------
@@ -187,7 +250,12 @@ class SetCriterion:
             b = targets.labels.shape[0]
             dn_labels = jnp.tile(targets.labels, (1, scalar))
             dn_valid = jnp.tile(targets.valid, (1, scalar))
-            dn_gt_masks = jnp.tile(targets.masks, (1, scalar, 1, 1))
+            # compact path indexes GT modulo N — avoid materializing the
+            # scalar-times tile of full-res GT masks
+            if self.max_pairs and self.max_pairs < b * pad:
+                dn_gt_masks = targets.masks
+            else:
+                dn_gt_masks = jnp.tile(targets.masks, (1, scalar, 1, 1))
             dn_qidx = jnp.broadcast_to(jnp.arange(pad, dtype=jnp.int32)[None], (b, pad))
             dn_num_masks = num_masks * scalar
             dn_layers = dn_out["aux_outputs"] + [dn_out]
@@ -268,4 +336,5 @@ def build_criterion(cfg) -> SetCriterion:
         oversample_ratio=cfg.MODEL.MASK_FORMER.OVERSAMPLE_RATIO,
         importance_sample_ratio=cfg.MODEL.MASK_FORMER.IMPORTANCE_SAMPLE_RATIO,
         dn_no_lb=cfg.MODEL.MASK_FORMER.DN_NO_LB,
+        max_pairs=cfg.TPU.MAX_PAIRS,
     )
