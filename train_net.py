@@ -67,17 +67,46 @@ def main(args):
         import jax.numpy as jnp
         import numpy as np
 
+        from mp_former_tpu.data.catalog import MetadataCatalog
+        from mp_former_tpu.evaluation.evaluators import (COCOPanopticEvaluator,
+                                                         SemSegEvaluator)
+
         model = build_model(cfg)
-        records = DatasetCatalog.get(cfg.DATASETS.TEST[0])
-        h = cfg.INPUT.MIN_SIZE_TEST or 800
-        w = cfg.INPUT.MAX_SIZE_TEST or 1333
-        dummy = jnp.asarray(np.zeros((1, (h + 31) // 32 * 32, (w + 31) // 32 * 32, 3), np.float32))
-        params = model.init({"params": jax.random.PRNGKey(0)}, dummy, None, train=False)
+        dataset_name = cfg.DATASETS.TEST[0]
+        records = DatasetCatalog.get(dataset_name)
+        meta = MetadataCatalog.get(dataset_name)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = jax.jit(lambda k, im: model.init(
+            {"params": k}, im, None, train=False))(jax.random.PRNGKey(0), dummy)
         if cfg.MODEL.WEIGHTS:
             params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS, params["params"])}
-        evaluator = COCOEvaluator(records)
-        results = inference_on_dataset(
-            cfg, model, params, records, evaluator, args.max_eval_images)
+
+        results = {}
+        # task dispatch mirrors reference build_evaluator (train_net.py:142-222)
+        if cfg.MODEL.MASK_FORMER.TEST.INSTANCE_ON:
+            results["instance"] = inference_on_dataset(
+                cfg, model, params, records, COCOEvaluator(records),
+                args.max_eval_images, task="instance")
+        if cfg.MODEL.MASK_FORMER.TEST.SEMANTIC_ON and meta.get("sem_seg_root"):
+            import cv2
+
+            def load_gt(rec):
+                g = cv2.imread(rec["sem_seg_file_name"], cv2.IMREAD_UNCHANGED)
+                return g[..., 0] if g.ndim == 3 else g
+
+            results["semantic"] = inference_on_dataset(
+                cfg, model, params, records,
+                SemSegEvaluator(cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+                                cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE),
+                args.max_eval_images, task="semantic", sem_seg_loader=load_gt)
+        if cfg.MODEL.MASK_FORMER.TEST.PANOPTIC_ON and records and \
+                "pan_seg_file_name" in records[0]:
+            thing_map = meta.get("thing_map", {})
+            k = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+            is_thing = np.array([thing_map.get(i, True) for i in range(k)])
+            results["panoptic"] = inference_on_dataset(
+                cfg, model, params, records, COCOPanopticEvaluator(thing_map),
+                args.max_eval_images, task="panoptic", is_thing=is_thing)
         print(results)
         return results
 
