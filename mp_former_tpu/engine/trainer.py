@@ -137,4 +137,28 @@ class Trainer:
                         h(step, self)
                 if (step + 1) % self.checkpoint_period == 0:
                     self.save(step + 1)
+                eval_period = self.cfg.TEST.EVAL_PERIOD
+                if eval_period and (step + 1) % eval_period == 0:
+                    self.test(max_images=self.cfg.TEST.get("MAX_EVAL_IMAGES", None)
+                              if hasattr(self.cfg.TEST, "get") else None)
         self.save(self.max_iter)
+
+    def test(self, max_images=None):
+        """Periodic eval during training (d2 Trainer.test / TEST.EVAL_PERIOD,
+        reference Base-COCO-InstanceSegmentation.yaml:41-42)."""
+        from ..data.catalog import DatasetCatalog
+        from ..evaluation.evaluators import COCOEvaluator
+        from .eval_loop import inference_on_dataset
+
+        if not self.cfg.DATASETS.TEST:
+            return None
+        name = self.cfg.DATASETS.TEST[0]
+        if name not in DatasetCatalog:
+            logger.warning("eval dataset %s not registered; skipping", name)
+            return None
+        records = DatasetCatalog.get(name)
+        results = inference_on_dataset(
+            self.cfg, self.model, {"params": self.state.params}, records,
+            COCOEvaluator(records), max_images)
+        logger.info("eval results: %s", results)
+        return results
