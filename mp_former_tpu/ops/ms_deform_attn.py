@@ -96,15 +96,8 @@ def ms_deform_attn(
         tw = jnp.stack([w00, w01, w10, w11], axis=-1)   # (B, Q, M, P, 4)
         tw = jnp.swapaxes(tw, 1, 2).reshape(B, M, Q * P, 4).astype(taps.dtype)
 
-        # weighted tap sum via minor-dim slices: consumes the gather output
-        # in its native (.., 4D) layout — a reshape+einsum forces a full
-        # relayout copy of the (B, M, Q*P, 4D) tensor (profiled at ~19ms/img)
-        sampled = (
-            taps[..., 0 * D:1 * D] * tw[..., 0:1]
-            + taps[..., 1 * D:2 * D] * tw[..., 1:2]
-            + taps[..., 2 * D:3 * D] * tw[..., 2:3]
-            + taps[..., 3 * D:4 * D] * tw[..., 3:4]
-        )  # (B, M, Q*P, D)
+        sampled = jnp.einsum(
+            "bmnt,bmntd->bmnd", tw, taps.reshape(B, M, Q * P, 4, D))
         sampled = sampled.reshape(B, M, Q, P, D)
         wl = jnp.swapaxes(w, 1, 2)[..., None].astype(sampled.dtype)  # (B, M, Q, P, 1)
         out = out + jnp.swapaxes(jnp.sum(sampled * wl, axis=3), 1, 2).astype(value.dtype)
