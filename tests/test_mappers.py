@@ -1,0 +1,85 @@
+"""Dataset-mapper consistency tests: geometry applied to image, masks,
+sem-seg, and boxes agree; static output shapes hold."""
+
+import numpy as np
+import pytest
+
+from mp_former_tpu.config import get_cfg, add_deeplab_config, add_maskformer2_config
+from mp_former_tpu.data.transforms import (
+    TransformRecord, apply_record_to_image, lsj_transform, resize_shortest_edge)
+from mp_former_tpu.data.dataset_mappers.coco_instance_new_baseline import (
+    _mask_from_segmentation, _transform_bitmask)
+
+
+def test_lsj_record_consistency():
+    rng = np.random.RandomState(0)
+    h, w = 200, 300
+    rec = lsj_transform(rng, h, w, image_size=128, min_scale=0.5, max_scale=1.5)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[50:100, 100:200] = 255
+    out = apply_record_to_image(img, rec, pad_value=0.0)
+    assert out.shape == (128, 128, 3)
+
+    # a rectangle polygon lands where the rasterized mask lands
+    poly = [np.array([100.0, 50.0, 200.0, 50.0, 200.0, 100.0, 100.0, 100.0])]
+    m = _mask_from_segmentation([p.tolist() for p in poly], rec)
+    assert m.shape == (128, 128)
+    # mask must overlap the bright image region (same geometry applied)
+    bright = out[:, :, 0] > 128
+    if m.any() and bright.any():
+        inter = (m & bright).sum()
+        union = (m | bright).sum()
+        assert inter / union > 0.6
+
+
+def test_bitmask_vs_polygon_transform_agree():
+    rng = np.random.RandomState(1)
+    h, w = 100, 140
+    rec = resize_shortest_edge(rng, h, w, [64], 96, flip=True)
+    mask = np.zeros((h, w), bool)
+    mask[20:60, 30:90] = True
+    tm = _transform_bitmask(mask, rec)
+    poly = [np.array([30.0, 20.0, 90.0, 20.0, 90.0, 60.0, 30.0, 60.0])]
+    pm = _mask_from_segmentation([p.tolist() for p in poly], rec)
+    inter = (tm & pm).sum()
+    union = (tm | pm).sum()
+    assert union > 0 and inter / union > 0.7
+
+
+def test_semantic_mapper_static_shapes(tmp_path):
+    import cv2
+
+    from mp_former_tpu.data.dataset_mappers.mask_former_mappers import (
+        MaskFormerSemanticDatasetMapper)
+
+    cfg = get_cfg()
+    add_deeplab_config(cfg)
+    add_maskformer2_config(cfg)
+    cfg.merge_from_list([
+        "INPUT.MIN_SIZE_TRAIN", "(64,)",
+        "INPUT.MAX_SIZE_TRAIN", "128",
+        "INPUT.CROP.ENABLED", "True",
+        "INPUT.CROP.TYPE", "absolute",
+        "INPUT.CROP.SIZE", "(64, 64)",
+        "INPUT.COLOR_AUG_SSD", "True",
+        "INPUT.SIZE_DIVISIBILITY", "64",
+    ])
+    img = (np.random.RandomState(0).rand(120, 160, 3) * 255).astype(np.uint8)
+    sem = np.random.RandomState(1).randint(0, 5, (120, 160)).astype(np.uint8)
+    f_img = str(tmp_path / "im.jpg")
+    f_sem = str(tmp_path / "sem.png")
+    cv2.imwrite(f_img, img)
+    cv2.imwrite(f_sem, sem)
+    mapper = MaskFormerSemanticDatasetMapper(cfg, max_instances=8)
+    s = mapper({"file_name": f_img, "sem_seg_file_name": f_sem, "image_id": 0},
+               np.random.RandomState(2))
+    assert s["image"].shape == (64, 64, 3)
+    assert s["sem_seg"].shape == (64, 64)
+    assert s["masks"].shape == (8, 64, 64)
+    # class masks partition the labeled area
+    labeled = s["sem_seg"] != 255
+    union = np.zeros((64, 64), bool)
+    for i in range(8):
+        if s["valid"][i]:
+            union |= s["masks"][i]
+    np.testing.assert_array_equal(union, labeled)

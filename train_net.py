@@ -52,8 +52,21 @@ def setup(args):
     return cfg
 
 
+def _maybe_init_distributed(args):
+    """Multi-node TPU init (replaces the reference's d2 `launch` + NCCL,
+    train_net.py:399-412). Single-process is the default; multi-process pods
+    set the standard JAX coordinator env or pass --num-machines > 1."""
+    import os
+
+    if args.num_machines > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+
 def main(args):
     cfg = setup(args)
+    _maybe_init_distributed(args)
 
     if args.eval_only:
         import jax
