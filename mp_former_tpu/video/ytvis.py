@@ -119,8 +119,16 @@ class YTVISDatasetMapper:
         h, w = record["height"], record["width"]
         rec = resize_shortest_edge(rng, h, w, self.min_sizes, self.max_size,
                                    flip=True)
-        ph = (rec.out_h + self.size_div - 1) // self.size_div * self.size_div
-        pw = (rec.out_w + self.size_div - 1) // self.size_div * self.size_div
+        # static canvas across the dataset so clips batch without recompiles
+        d = self.size_div
+        cap_short = (max(self.min_sizes) + d - 1) // d * d
+        cap_long = (self.max_size + d - 1) // d * d
+        if w >= h:
+            ph, pw = cap_short, cap_long
+        else:
+            ph, pw = cap_long, cap_short
+        ph = max(ph, (rec.out_h + d - 1) // d * d)
+        pw = max(pw, (rec.out_w + d - 1) // d * d)
 
         frames = np.zeros((self.num_frames, ph, pw, 3), np.float32)
         n_cap = self.max_instances
