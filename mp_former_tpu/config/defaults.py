@@ -234,6 +234,7 @@ def add_maskformer2_config(cfg: CN) -> None:
     cfg.TPU.DN_MAX_GT = 20             # static cap for DN group size
     cfg.TPU.PROFILE_DIR = ""           # capture a jax.profiler trace of steps 5-8
     cfg.TPU.MAX_PAIRS = 512            # static matched-pair budget for mask losses (0 = dense)
+    cfg.TPU.POINT_SAMPLE_MODE = "grid"  # 'grid' (dense, fast) | 'random' (reference-exact points)
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:
