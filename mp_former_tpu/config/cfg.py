@@ -95,6 +95,11 @@ class CfgNode(dict):
 
     def merge_from_list(self, cfg_list: List[str]) -> None:
         """Merge ``["KEY.SUBKEY", value, ...]`` pairs (CLI `opts`)."""
+        flags = [x for x in cfg_list if isinstance(x, str) and x.startswith("--")]
+        if flags:
+            raise ValueError(
+                f"CLI flags {flags} appeared after config overrides; place "
+                "flags like --eval-only BEFORE the KEY VALUE override list")
         assert len(cfg_list) % 2 == 0, f"Override list has odd length: {cfg_list}"
         for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
             key_parts = full_key.split(".")

@@ -48,6 +48,11 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         batch = next(iter(train_loader)) if train_loader is not None else None
         assert batch is not None, "Trainer requires a train loader"
+        mesh_size = int(np.prod(self.mesh.devices.shape))
+        if batch.images.shape[0] % mesh_size:
+            raise ValueError(
+                f"SOLVER.IMS_PER_BATCH={batch.images.shape[0]} must be divisible "
+                f"by the data-parallel mesh size {mesh_size} (TPU.MESH_SHAPE)")
         with jax.set_mesh(self.mesh):
             params = self.model.init(
                 {"params": jax.random.PRNGKey(seed),

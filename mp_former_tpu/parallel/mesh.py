@@ -26,6 +26,12 @@ def create_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mes
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = n // known
     want = int(np.prod(shape))
+    if want > n:
+        raise ValueError(
+            f"TPU.MESH_SHAPE {shape} needs {want} devices but only {n} are "
+            f"visible ({[str(d) for d in devices]}). On CPU, set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N to create "
+            "virtual devices.")
     if want < n:
         devices = devices[:want]
     arr = np.asarray(devices).reshape(shape)

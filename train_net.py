@@ -66,6 +66,13 @@ def _maybe_init_distributed(args):
 
 def main(args):
     cfg = setup(args)
+    # the axon site hook pins the TPU platform regardless of the JAX_PLATFORMS
+    # env var; honor the user's choice explicitly
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     _maybe_init_distributed(args)
 
     if args.eval_only:
@@ -120,6 +127,11 @@ def main(args):
             results["panoptic"] = inference_on_dataset(
                 cfg, model, params, records, COCOPanopticEvaluator(thing_map),
                 args.max_eval_images, task="panoptic", is_thing=is_thing)
+        if not results:
+            logging.getLogger(__name__).warning(
+                "no eval task ran: enable MODEL.MASK_FORMER.TEST.{INSTANCE,"
+                "SEMANTIC,PANOPTIC}_ON and make sure the dataset provides the "
+                "matching ground truth")
         print(results)
         return results
 

@@ -36,6 +36,13 @@ def setup(args):
 
 def main(args):
     cfg = setup(args)
+    # the axon site hook pins the TPU platform regardless of the JAX_PLATFORMS
+    # env var; honor the user's choice explicitly
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     import jax
     import jax.numpy as jnp
     import numpy as np
