@@ -92,8 +92,8 @@ def _fix_unassigned(col2row: jax.Array, q: int) -> jax.Array:
 
 
 def auction_assign(cost: jax.Array, eps_final: float = 1e-5,
-                   scaling: int = 10, theta: float = 8.0,
-                   max_iters: int = 3000) -> jax.Array:
+                   scaling: int = 6, theta: float = 8.0,
+                   max_iters: int = 1000) -> jax.Array:
     """cost (..., Q, N) -> (..., N) int32: row assigned to each column,
     minimizing total cost over injective column->row assignments (N <= Q).
 
@@ -116,6 +116,13 @@ def auction_assign(cost: jax.Array, eps_final: float = 1e-5,
     vmin = jnp.min(values, axis=(1, 2), keepdims=True)
     scale = jnp.maximum(vmax - vmin, 1e-6)
     values = (values - vmin) / scale
+    # deterministic tie-break: identical columns (e.g. the matcher's invalid
+    # slots) otherwise fight an O(n) bidding war PER PHASE over the same
+    # cheapest row; a sub-epsilon bias gives every column a distinct best row
+    # so they assign in O(1) iterations. Costs <= q*eps_final in optimality,
+    # the same order as the epsilon-CS bound itself.
+    tiebreak = jax.random.uniform(jax.random.PRNGKey(0), (q, q)) * eps_final
+    values = values + tiebreak[None]
 
     price = jnp.zeros((b, q), jnp.float32)
     owner = jnp.full((b, q), -1, jnp.int32)
