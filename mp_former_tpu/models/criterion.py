@@ -8,8 +8,9 @@ out of every sum, reproducing the reference's variable-length concatenation
 semantics exactly. DN losses use fixed identity indices per group (reference
 :248-266) and are normalized by num_masks * scalar (:263).
 
-All matchings of a step (final + 9 aux layers, main and DN share targets) are
-solved in ONE batched host callback (see matcher.hungarian_assign).
+All matchings of a step (final + 9 aux layers, main and DN share targets)
+are solved in ONE batched LSA call (see matcher.hungarian_assign: on-device
+auction on TPU, scipy callback on CPU).
 """
 
 from __future__ import annotations

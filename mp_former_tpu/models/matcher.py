@@ -1,12 +1,13 @@
 """Hungarian matcher (reference modeling/matcher.py:70-189).
 
 Costs are computed on device as MXU matmuls over 12544 shared random points
-(reference :120-132); the LSAP solve hops to host scipy via one batched
-`pure_callback` — the same device->host hop the reference takes (:149-151),
-but batched over (layers x batch) so a training step pays one round-trip, not
-10*B. Static shapes: targets are padded to N slots with a validity mask;
-invalid columns get a large constant cost, and the returned assignment is a
-permutation so valid/invalid rows never collide.
+(reference :120-132). The LSAP solve is batched over (layers x batch) and
+runs either fully on device (epsilon-scaling auction, ops/auction_lsa.py —
+required on this TPU runtime, which rejects host callbacks) or as one scipy
+host callback on CPU backends (the reference's own device->host hop,
+:149-151). Static shapes: targets are padded to N slots with a validity
+mask; invalid columns cost just above the worst real cost, and the returned
+assignment is a permutation so valid/invalid rows never collide.
 """
 
 from __future__ import annotations
