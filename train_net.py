@@ -49,6 +49,9 @@ def setup(args):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    # d2 default_setup role: dump the fully-merged config for reproducibility
+    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
     return cfg
 
 
