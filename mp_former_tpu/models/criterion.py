@@ -309,7 +309,9 @@ class SetCriterion:
             self.matcher.cost(o["pred_logits"], o["pred_masks"], targets, r)
             for o, r in zip(layer_outputs, mrngs)
         ])  # (L, B, Q, N)
-        assignments = hungarian_assign(costs)  # (L, B, N)
+        col_valid = jnp.broadcast_to(
+            targets.valid[None], (len(layer_outputs),) + targets.valid.shape)
+        assignments = hungarian_assign(costs, col_valid=col_valid)  # (L, B, N)
 
         # DN tiled targets + identity indices (reference :248-258)
         if dn_out is not None:

@@ -44,7 +44,8 @@ def _lsa_host(cost: np.ndarray) -> np.ndarray:
     return out
 
 
-def hungarian_assign(cost: jax.Array, impl: str = "auto") -> jax.Array:
+def hungarian_assign(cost: jax.Array, impl: str = "auto",
+                     col_valid: jax.Array | None = None) -> jax.Array:
     """cost: (..., Q, N) -> (..., N) int32 assignment.
 
     impl='scipy': host callback (exact, mirrors the reference's CPU hop) —
@@ -61,7 +62,7 @@ def hungarian_assign(cost: jax.Array, impl: str = "auto") -> jax.Array:
     if impl == "auction":
         from ..ops.auction_lsa import auction_assign
 
-        return auction_assign(jax.lax.stop_gradient(cost))
+        return auction_assign(jax.lax.stop_gradient(cost), col_valid=col_valid)
     lead = cost.shape[:-2]
     q, n = cost.shape[-2:]
     flat = cost.reshape((-1, q, n))

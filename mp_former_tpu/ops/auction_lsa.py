@@ -20,10 +20,11 @@ _NEG = jnp.float32(-1e15)
 
 
 def _phase(values: jax.Array, eps: jax.Array, price: jax.Array,
-           max_iters: int):
+           max_iters: int, col_active: jax.Array):
     """One epsilon phase from scratch assignments.
 
     values: (B, N, Q) benefit (bidder/column major); eps: (B, 1); price: (B, Q).
+    col_active: (B, N) — inactive columns never bid (treated as satisfied).
     Returns (owner (B, Q) int32 column owning each row or -1, price).
     """
     b, n, q = values.shape
@@ -31,7 +32,7 @@ def _phase(values: jax.Array, eps: jax.Array, price: jax.Array,
     owner0 = jnp.full((b, q), -1, jnp.int32)
 
     def assigned_cols(owner):
-        a = jnp.zeros((b, n), bool)
+        a = ~col_active  # inactive columns count as satisfied
         safe = jnp.clip(owner, 0, n - 1)
         return a.at[jnp.arange(b)[:, None], safe].max(owner >= 0)
 
@@ -93,7 +94,8 @@ def _fix_unassigned(col2row: jax.Array, q: int) -> jax.Array:
 
 def auction_assign(cost: jax.Array, eps_final: float = 1e-5,
                    scaling: int = 6, theta: float = 8.0,
-                   max_iters: int = 1000) -> jax.Array:
+                   max_iters: int = 1000,
+                   col_valid: jax.Array | None = None) -> jax.Array:
     """cost (..., Q, N) -> (..., N) int32: row assigned to each column,
     minimizing total cost over injective column->row assignments (N <= Q).
 
@@ -101,6 +103,12 @@ def auction_assign(cost: jax.Array, eps_final: float = 1e-5,
     row ends owned each phase, so carrying prices across epsilon-scaling
     phases is sound (asymmetric auctions leave stale prices on unowned rows,
     which silently breaks optimality).
+
+    col_valid (..., N) bool: columns whose assignment is never consumed
+    (e.g. the matcher's padded-invalid slots). They are excluded from the
+    bidding entirely — the while loop only runs until real columns settle —
+    and receive arbitrary distinct leftover rows afterwards. With ~7 real
+    columns out of 100 this cuts the iteration count ~10x.
     """
     lead = cost.shape[:-2]
     q, n = cost.shape[-2:]
@@ -125,10 +133,24 @@ def auction_assign(cost: jax.Array, eps_final: float = 1e-5,
     values = values + tiebreak[None]
 
     price = jnp.zeros((b, q), jnp.float32)
-    owner = jnp.full((b, q), -1, jnp.int32)
-    for phase in range(scaling):
-        eps = jnp.full((b, 1), max(0.5 / theta ** phase, eps_final), jnp.float32)
-        owner, price = _phase(values, eps, price, max_iters)
+    if col_valid is None:
+        # squared symmetric problem: epsilon-scaling with price carry-over
+        col_active = jnp.ones((b, q), bool)
+        owner = jnp.full((b, q), -1, jnp.int32)
+        for phase in range(scaling):
+            eps = jnp.full((b, 1), max(0.5 / theta ** phase, eps_final),
+                           jnp.float32)
+            owner, price = _phase(values, eps, price, max_iters, col_active)
+    else:
+        # few active bidders: the problem is effectively asymmetric, where
+        # carrying prices across phases is unsound (abandoned rows keep stale
+        # prices). One phase from zero prices is sound (unowned rows stay at
+        # their initial price 0) and converges fast with so few bidders.
+        cv = col_valid.reshape(-1, n)
+        col_active = jnp.concatenate(
+            [cv, jnp.zeros((b, q - n), bool)], axis=1) if n < q else cv
+        eps = jnp.full((b, 1), max(eps_final, 1e-4), jnp.float32)
+        owner, price = _phase(values, eps, price, 4 * max_iters, col_active)
 
     col2row = _owner_to_col2row(owner, q)[:, :n]
     return _fix_unassigned(col2row, q).reshape(lead + (n,))

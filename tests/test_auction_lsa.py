@@ -95,3 +95,24 @@ def test_degenerate_identical_columns():
     cost = np.ones((8, 8), np.float32)
     got = np.asarray(auction_assign(jnp.asarray(cost)))
     assert len(set(got.tolist())) == 8
+
+
+def test_col_valid_subproblem_optimal():
+    """With col_valid, real columns get the optimal assignment of their
+    subproblem; invalid columns get arbitrary distinct leftover rows."""
+    import scipy.optimize
+
+    rng = np.random.RandomState(9)
+    q, n, v = 100, 100, 7
+    real = rng.randn(q, v).astype(np.float32) * 5
+    cost = np.full((q, n), real.max() + 1.0, np.float32)
+    cost[:, :v] = real
+    valid = np.zeros((n,), bool)
+    valid[:v] = True
+    got = np.asarray(auction_assign(jnp.asarray(cost),
+                                    col_valid=jnp.asarray(valid)[None]))
+    r, c = scipy.optimize.linear_sum_assignment(real.astype(np.float64))
+    best = real[r, c].sum()
+    ours = real[got[:v], np.arange(v)].sum()
+    assert ours <= best + 0.05, (ours, best)
+    assert len(set(got.tolist())) == n  # still a permutation
