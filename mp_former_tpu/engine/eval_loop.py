@@ -36,12 +36,17 @@ def _bucket_shape(h: int, w: int, min_test: int, max_test: int, div: int = 32):
 
 
 class EvalMapper:
-    """ResizeShortestEdge(MIN_SIZE_TEST, MAX_SIZE_TEST) + static padding."""
+    """ResizeShortestEdge(MIN_SIZE_TEST, MAX_SIZE_TEST) + static padding.
+
+    Padding uses the dataset pixel mean: the reference pads NORMALIZED
+    tensors with zeros (d2 ImageList.from_tensors, maskformer_model.py:205),
+    and mean-padding raw pixels normalizes to exactly zero."""
 
     def __init__(self, cfg):
         self.min_test = cfg.INPUT.MIN_SIZE_TEST
         self.max_test = cfg.INPUT.MAX_SIZE_TEST
         self.fmt = cfg.INPUT.FORMAT
+        self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
 
     def __call__(self, record: dict) -> Optional[dict]:
         import cv2
@@ -55,7 +60,7 @@ class EvalMapper:
         rec = resize_shortest_edge(None, h, w, [self.min_test], self.max_test)
         resized = apply_record_to_image(img, rec, pad_value=0.0)
         ph, pw = _bucket_shape(h, w, self.min_test, self.max_test)
-        canvas = np.zeros((ph, pw, 3), np.float32)
+        canvas = np.broadcast_to(self.pixel_mean, (ph, pw, 3)).astype(np.float32).copy()
         canvas[: rec.out_h, : rec.out_w] = resized
         return {
             "image": canvas,
