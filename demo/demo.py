@@ -50,11 +50,18 @@ def overlay_semantic(image_bgr, sem_probs):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", required=True)
-    p.add_argument("--input", nargs="+", required=True)
+    p.add_argument("--input", nargs="+",
+                   help="image paths (reference demo/demo.py --input)")
+    p.add_argument("--video-input", help="video file: per-frame visualization")
+    p.add_argument("--webcam", action="store_true",
+                   help="camera 0 (reference --webcam)")
     p.add_argument("--output", default="demo_out")
     p.add_argument("--confidence-threshold", type=float, default=0.5)
+    p.add_argument("--max-frames", type=int, default=100)
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = p.parse_args()
+    if not (args.input or args.video_input or args.webcam):
+        p.error("one of --input / --video-input / --webcam is required")
 
     import jax
     import jax.numpy as jnp
@@ -77,8 +84,26 @@ def main():
 
     params = None
     fwd = jax.jit(lambda p, im: model.apply(p, im, None, train=False))
-    for path in args.input:
-        img = cv2.imread(path)
+
+    def frame_iter():
+        if args.input:
+            for path in args.input:
+                yield path, cv2.imread(path)
+        elif args.video_input or args.webcam:
+            cap = cv2.VideoCapture(0 if args.webcam else args.video_input)
+            i = 0
+            while cap.isOpened() and i < args.max_frames:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield f"frame_{i:05d}.jpg", frame
+                i += 1
+            cap.release()
+
+    for path, img in frame_iter():
+        if img is None:
+            print(f"could not read {path}")
+            continue
         h, w = img.shape[:2]
         scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
         nh = int(h * scale + 0.5 + 31) // 32 * 32
