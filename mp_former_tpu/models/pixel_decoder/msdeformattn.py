@@ -47,11 +47,14 @@ class MSDeformAttnTransformerEncoderLayer(nn.Module):
     n_levels: int = 3
     n_heads: int = 8
     n_points: int = 4
+    spatial_shapes: Tuple[Tuple[int, int], ...] = ()
+    train_mode: bool = False  # static (baked at construction for nn.remat)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, src, pos, reference_points, spatial_shapes, *, train: bool = False):
-        drop = nn.Dropout(self.dropout, deterministic=not train)
+    def __call__(self, src, pos, reference_points):
+        spatial_shapes = self.spatial_shapes
+        drop = nn.Dropout(self.dropout, deterministic=not self.train_mode)
         src2 = MSDeformAttn(
             d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
             n_points=self.n_points, dtype=self.dtype, name="self_attn",
@@ -76,6 +79,7 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
     dropout: float = 0.1
     num_feature_levels: int = 3
     enc_n_points: int = 4
+    remat: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -99,14 +103,21 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
         ref = jnp.asarray(_reference_points(spatial_shapes))[None]  # (1, S, L, 2)
         ref = jnp.broadcast_to(ref, (src_flat.shape[0],) + ref.shape[1:])
 
+        # rematerialize each encoder layer under autodiff: the deformable
+        # gather/taps intermediates otherwise dominate activation memory
+        # (OOM at bs8/512px on a 16GB chip)
+        layer_cls = (nn.remat(MSDeformAttnTransformerEncoderLayer,
+                              static_argnums=())
+                     if self.remat else MSDeformAttnTransformerEncoderLayer)
         out = src_flat
         for i in range(self.num_encoder_layers):
-            out = MSDeformAttnTransformerEncoderLayer(
+            out = layer_cls(
                 d_model=self.d_model, d_ffn=self.dim_feedforward,
                 dropout=self.dropout, n_levels=self.num_feature_levels,
                 n_heads=self.nhead, n_points=self.enc_n_points,
+                spatial_shapes=spatial_shapes, train_mode=train,
                 dtype=self.dtype, name=f"encoder_layers_{i}",
-            )(out, pos_flat, ref, spatial_shapes, train=train)
+            )(out, pos_flat, ref)
         return out, spatial_shapes
 
 
