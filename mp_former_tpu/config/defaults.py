@@ -112,6 +112,9 @@ def get_cfg() -> CN:
     _C.TEST.AUG.MIN_SIZES = (400, 500, 600, 700, 800, 900, 1000, 1100, 1200)
     _C.TEST.AUG.MAX_SIZE = 4000
     _C.TEST.AUG.FLIP = True
+    # [[task, metric, expected, tolerance], ...] checked after --eval-only
+    # (d2 verify_results, called at reference train_net.py:385)
+    _C.TEST.EXPECTED_RESULTS = []
     _C.TEST.DETECTIONS_PER_IMAGE = 100
 
     return _C

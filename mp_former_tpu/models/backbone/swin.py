@@ -101,14 +101,17 @@ class SwinBlock(nn.Module):
     num_heads: int
     window_size: int = 7
     shift_size: int = 0
+    block_hw: Tuple[int, int] = (0, 0)
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     qk_scale: float | None = None
     drop_path: float = 0.0
+    train_mode: bool = False  # baked statically (nn.remat-compatible)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, h: int, w: int, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h, w, train = self.block_hw[0], self.block_hw[1], self.train_mode
         b, l, c = x.shape
         ws = self.window_size
         shift = self.shift_size
@@ -191,6 +194,7 @@ class SwinTransformer(nn.Module):
     ape: bool = False
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     frozen_stages: int = -1
+    use_checkpoint: bool = False  # reference SWIN.USE_CHECKPOINT -> nn.remat
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -213,15 +217,18 @@ class SwinTransformer(nn.Module):
         dim = self.embed_dim
         blk_idx = 0
         for i in range(num_layers):
+            block_cls = (nn.remat(SwinBlock, static_argnums=())
+                         if self.use_checkpoint else SwinBlock)
             for j in range(self.depths[i]):
                 shift = 0 if j % 2 == 0 else self.window_size // 2
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim, num_heads=self.num_heads[i],
                     window_size=self.window_size, shift_size=shift,
+                    block_hw=(h, w), train_mode=train,
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     qk_scale=self.qk_scale, drop_path=float(dpr[blk_idx]),
                     dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
-                )(x, h, w, train=train)
+                )(x)
                 blk_idx += 1
             if i in out_indices:
                 y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
@@ -258,5 +265,6 @@ def build_swin_backbone(cfg) -> SwinTransformer:
         ape=s.APE,
         out_features=tuple(s.OUT_FEATURES),
         frozen_stages=cfg.MODEL.BACKBONE.FREEZE_AT,
+        use_checkpoint=s.USE_CHECKPOINT,
         dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
     )

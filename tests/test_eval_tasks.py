@@ -105,3 +105,21 @@ def test_panoptic_eval_loop(tmp_path):
         is_thing=np.array([True, True, False, False]))
     assert "panoptic_seg" in results
     assert results["panoptic_seg"]["All"]["n"] >= 1
+
+
+def test_verify_results():
+    """cfg.TEST.EXPECTED_RESULTS gate (reference train_net.py:385)."""
+    import pytest
+    from train_net import verify_results
+    from mp_former_tpu.config import (get_cfg, add_deeplab_config,
+                                      add_maskformer2_config)
+
+    res = {"instance": {"AP": 40.12}}
+    cfg = get_cfg(); add_deeplab_config(cfg); add_maskformer2_config(cfg)
+    assert verify_results(cfg, res)  # empty spec -> no-op
+    cfg.merge_from_list(
+        ["TEST.EXPECTED_RESULTS", "[['instance','AP',40.15,0.2]]"])
+    assert verify_results(cfg, res)
+    cfg.TEST.EXPECTED_RESULTS = [["instance", "AP", 45.0, 0.2]]
+    with pytest.raises(AssertionError, match="expected 45.0"):
+        verify_results(cfg, res)

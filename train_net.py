@@ -55,6 +55,29 @@ def setup(args):
     return cfg
 
 
+def verify_results(cfg, results):
+    """Assert eval metrics match cfg.TEST.EXPECTED_RESULTS (the d2
+    `verify_results` called at reference train_net.py:385). Each entry is
+    ``[task, metric, expected, tolerance]``; raises if any metric is outside
+    expected +/- tolerance. No-op when the list is empty."""
+    expected = cfg.TEST.EXPECTED_RESULTS
+    if not expected:
+        return True
+    failures = []
+    for task, metric, want, tol in expected:
+        got = results.get(task, {}).get(metric)
+        if got is None:
+            failures.append(f"{task}/{metric}: missing from results")
+        elif abs(got - want) > tol:
+            failures.append(
+                f"{task}/{metric}: got {got:.4f}, expected {want} +/- {tol}")
+    if failures:
+        raise AssertionError("result verification failed:\n  " +
+                             "\n  ".join(failures))
+    logging.getLogger(__name__).info("results verified: %s", expected)
+    return True
+
+
 def _maybe_init_distributed(args):
     """Multi-node TPU init (replaces the reference's d2 `launch` + NCCL,
     train_net.py:399-412). Single-process is the default; multi-process pods
@@ -136,6 +159,7 @@ def main(args):
                 "SEMANTIC,PANOPTIC}_ON and make sure the dataset provides the "
                 "matching ground truth")
         print(results)
+        verify_results(cfg, results)
         return results
 
     from mp_former_tpu.data.loader import build_train_loader
