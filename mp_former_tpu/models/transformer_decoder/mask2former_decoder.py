@@ -106,6 +106,141 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
         )
 
     # ------------------------------------------------------------------
+    def _static3_blocked(self, gt_masks, targets, scalar, noise_scale,
+                         size_list, B, N, pad_size):
+        """Per-forward noised DN attention masks for the geometric DN modes.
+
+        Reference prepare_for_dn_v6/v7/v8/v9 (mask2former_transformer_decoder
+        .py:1063-1580): noise the GT mask once at the finest decoder level
+        (size_list[-1], 1/8), nearest-downsample the noised mask to the two
+        coarser levels, and keep the 3-level set fixed for the whole forward
+        (`padding_mask_3level`). Returns [(B, pad_size, S_l)] blocked masks
+        ordered like size_list (level 0 = 1/32). True = blocked.
+        """
+        h8, w8 = size_list[-1]
+        fg0 = resize(gt_masks, (h8, w8), "nearest") > 0.5       # (B, N, h8, w8)
+        fg = jnp.broadcast_to(fg0[:, None], (B, scalar, N, h8, w8))
+        S = B * scalar * N
+        fg = fg.reshape(S, h8, w8)
+        boxes = jnp.broadcast_to(                # cxcywh in [0,1]
+            targets.boxes[:, None], (B, scalar, N, 4)).reshape(S, 4)
+        rr, cc = jnp.meshgrid(jnp.arange(h8), jnp.arange(w8), indexing="ij")
+
+        def scatter_fg(val, dest_r, dest_c):
+            # reference writes shifted fg coords into a fresh all-blocked
+            # canvas with index clamping (:1113-1125) — out-of-range pixels
+            # pile up on the border, which a gather can't express
+            return jax.vmap(
+                lambda v, r, c: jnp.zeros((h8, w8), bool).at[r, c].max(v)
+            )(val, dest_r, dest_c)
+
+        if self.dn_mode == "shift":
+            # v6 (:1098-1128): shift fg by a per-instance box-sized delta.
+            # Quirk kept: delta_x derives from box w, delta_y from h, and both
+            # scale by the grid *width* (:1110-1111 `*= size_list[-1][-1]`)
+            delta = (jax.random.uniform(self.make_rng("dn"), (S, 2)) * 2 - 1) \
+                * jnp.stack([boxes[:, 2] / 2, boxes[:, 3] / 2], -1) \
+                * noise_scale * w8
+            dr = jnp.floor(delta[:, 0]).astype(jnp.int32)
+            dc = jnp.floor(delta[:, 1]).astype(jnp.int32)
+            dest_r = jnp.clip(rr[None] + dr[:, None, None], 0, h8 - 1)
+            dest_c = jnp.clip(cc[None] + dc[:, None, None], 0, w8 - 1)
+            blk8 = ~scatter_fg(fg, dest_r, dest_c)
+        elif self.dn_mode in ("scale", "shift_scale"):
+            # v7 (:1227-1266): with prob 1-dn_ratio rescale the fg by a fixed
+            # (1+noise_scale) factor, recentering by box center; 'shift_scale'
+            # additionally shifts like v6 (delta at :1235-1238)
+            sh = int(h8 * (1 + noise_scale)) + 1
+            sw = int(w8 * (1 + noise_scale)) + 1
+            k_sc, k_sh = jax.random.split(self.make_rng("dn"))
+            is_scale = jax.random.uniform(k_sc, (S,)) > self.dn_ratio
+            # delta_center = (size - scale_size) * (cx, cy) (:1243), truncated
+            # toward zero like torch .long()
+            dc0 = ((h8 - sh) * boxes[:, 0]).astype(jnp.int32)
+            dc1 = ((w8 - sw) * boxes[:, 1]).astype(jnp.int32)
+            ii, jj = jnp.meshgrid(jnp.arange(sh), jnp.arange(sw), indexing="ij")
+            src_r = jnp.minimum(ii * h8 // sh, h8 - 1)
+            src_c = jnp.minimum(jj * w8 // sw, w8 - 1)
+            val_scaled = fg[:, src_r, src_c]
+            in_plain = (ii < h8) & (jj < w8)
+            val_plain = fg[:, jnp.minimum(ii, h8 - 1), jnp.minimum(jj, w8 - 1)] \
+                & in_plain[None]
+            val = jnp.where(is_scale[:, None, None], val_scaled, val_plain)
+            base_r = jnp.where(is_scale[:, None, None],
+                               ii[None] + dc0[:, None, None], ii[None]
+                               ).astype(jnp.float32)
+            base_c = jnp.where(is_scale[:, None, None],
+                               jj[None] + dc1[:, None, None], jj[None]
+                               ).astype(jnp.float32)
+            if self.dn_mode == "shift_scale":
+                delta = (jax.random.uniform(k_sh, (S, 2)) * 2 - 1) \
+                    * jnp.stack([boxes[:, 2] / 2, boxes[:, 3] / 2], -1) \
+                    * noise_scale * w8
+                base_r = base_r + delta[:, 0, None, None]
+                base_c = base_c + delta[:, 1, None, None]
+            dest_r = jnp.floor(jnp.clip(base_r, 0, h8 - 1)).astype(jnp.int32)
+            dest_c = jnp.floor(jnp.clip(base_c, 0, w8 - 1)).astype(jnp.int32)
+            blk8 = ~scatter_fg(val, dest_r, dest_c)
+        elif self.dn_mode == "patch":
+            # v8 (:1371-1390): carve one random rectangle of ~noise_scale x
+            # fg-area unblocked (random aspect, random position)
+            area = jnp.clip(fg.sum((1, 2)).astype(jnp.float32) * noise_scale,
+                            1.0, None)
+            k1, k2, k3, k4 = jax.random.split(self.make_rng("dn"), 4)
+            max_short = jnp.floor(jnp.sqrt(area))
+            short = (jnp.floor(jax.random.uniform(k1, (S,)) * max_short) + 1
+                     ).astype(jnp.int32)
+            long = jnp.floor(area / short).astype(jnp.int32)
+            eo = jax.random.uniform(k2, (S,))
+            ph = jnp.where(eo < 0.5, short, jnp.minimum(long, h8))
+            pw = jnp.where(eo < 0.5, jnp.minimum(long, w8), short)
+            x0 = jnp.floor(jax.random.uniform(k3, (S,)) *
+                           jnp.maximum(h8 - ph + 1, 1)).astype(jnp.int32)
+            y0 = jnp.floor(jax.random.uniform(k4, (S,)) *
+                           jnp.maximum(w8 - pw + 1, 1)).astype(jnp.int32)
+            rect = (rr[None] >= x0[:, None, None]) \
+                & (rr[None] < (x0 + ph)[:, None, None]) \
+                & (cc[None] >= y0[:, None, None]) \
+                & (cc[None] < (y0 + pw)[:, None, None])
+            blk8 = ~fg & ~rect
+        else:  # points_MAE
+            # v9 (:1489-1518): blocked |= bernoulli(noise_scale), drawn
+            # independently per level on the *un-noised* downsample chain
+            blk8 = ~fg
+            levels = []
+            chain = blk8
+            for (h, w) in reversed(size_list):  # finest -> coarsest
+                if (h, w) != (h8, w8):
+                    chain = resize(chain.astype(jnp.float32), (h, w),
+                                   "nearest") > 0.5
+                noise = jax.random.uniform(
+                    self.make_rng("dn"), chain.shape) < noise_scale
+                levels.append(chain | noise)
+            levels = list(reversed(levels))  # back to size_list order
+            return self._static3_pack(levels, targets, size_list, B, scalar,
+                                      N, pad_size)
+
+        # nearest-downsample the noised 1/8 mask to the coarser levels
+        # (v6 :1130-1137: both coarser levels resize from new_masks)
+        levels = []
+        for (h, w) in size_list:
+            m = blk8 if (h, w) == (h8, w8) else (
+                resize(blk8.astype(jnp.float32), (h, w), "nearest") > 0.5)
+            levels.append(m)
+        return self._static3_pack(levels, targets, size_list, B, scalar, N,
+                                  pad_size)
+
+    def _static3_pack(self, levels, targets, size_list, B, scalar, N,
+                      pad_size):
+        """(S, h, w) per level -> (B, pad_size, h*w), invalid slots blocked."""
+        out = []
+        for m, (h, w) in zip(levels, size_list):
+            m = m.reshape(B, scalar, N, h * w)
+            m = jnp.where(targets.valid[:, None, :, None], m, True)
+            out.append(m.reshape(B, pad_size, h * w))
+        return out
+
+    # ------------------------------------------------------------------
     @nn.compact
     def __call__(
         self,
@@ -183,15 +318,17 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             am = jnp.broadcast_to(am, (B, heads) + am.shape[2:])
             return outputs_class, outputs_mask, am
 
-        # ---- DN preparation (reference :968-1060 'points'; :737/:809/:1625
-        # for 'lb'/'mask'/'base'). NOTE: in the reference, every mode except
-        # 'points' is dead code — their prepare_for_dn_v* return 7-tuples
-        # while forward unpacks 8 (mask2former_transformer_decoder.py:1757-1759),
-        # so selecting them crashes upstream. We implement reconstructed
-        # *working* behavior for them: same group layout and GT attention
-        # masks, mode-specific content noise, no per-layer refresh.
+        # ---- DN preparation. Reference dispatch (:1728-1750):
+        # 'points'→v5 :968 (live, the released recipe), 'shift'→v6 :1063,
+        # 'scale'/'shift_scale'→v7 :1200, 'patch'→v8 :1336, 'points_MAE'→v9
+        # :1462 (all live: they return the 8-tuple forward expects).
+        # 'base'/'lb'/'mask' (v1/v2/v3 :1624/:737/:809) are dead upstream —
+        # they return 7-tuples while forward unpacks 8 (:1757-1759) — so ours
+        # are reconstructed *working* versions: same group layout and GT
+        # attention masks, mode-specific content noise, no per-layer refresh.
+        _STATIC3_MODES = ("shift", "scale", "shift_scale", "patch", "points_MAE")
         use_dn = dn_args is not None and self.has_label_enc \
-            and self.dn_mode in ("points", "lb", "mask", "base")
+            and self.dn_mode in ("points", "lb", "mask", "base") + _STATIC3_MODES
         tgt_mask = None
         dn_meta = None
         if use_dn:
@@ -214,11 +351,24 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
                 blk = jnp.where(targets.valid[:, :, None], blk, True)
                 blocked_lvl.append(blk)
 
+            static3_lvl = None
+            if self.dn_mode in _STATIC3_MODES:
+                static3_lvl = self._static3_blocked(
+                    gt_masks, targets, scalar, noise_scale, size_list, B, N,
+                    pad_size)
+
             mask_noise = noise_scale if self.dn_mode in ("points", "mask") else 0.0
 
             def dn_padding_mask(level: int) -> jax.Array:
                 """(B, heads, pad_size, S_l) blocked mask with fresh point noise
                 (reference gen_mask_dn :1584-1622)."""
+                if static3_lvl is not None:
+                    # shift/scale/shift_scale/patch/points_MAE: the noised
+                    # masks are fixed per forward (reference
+                    # padding_mask_3level, used via forward_prediction_heads_dn
+                    # :1817-1819); repeat over heads (:1178 `.repeat([1,8,1,1])`)
+                    m = static3_lvl[level]  # (B, pad_size, S_l)
+                    return jnp.broadcast_to(m[:, None], (B, heads) + m.shape[1:])
                 noise_scale = mask_noise
                 h, w = size_list[level]
                 s = h * w
@@ -251,8 +401,10 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             # content per mode
             labels = jnp.broadcast_to(
                 targets.labels[:, None, :], (B, scalar, N))
-            if self.dn_mode == "points" and self.dn_label_noise_ratio > 0:
-                # class-flip noise (reference :1004-1018)
+            if self.dn_mode in ("points",) + _STATIC3_MODES \
+                    and self.dn_label_noise_ratio > 0:
+                # class-flip noise (reference :1004-1018; v6-v9 apply the
+                # same block, e.g. :1143-1152)
                 kf, kl = jax.random.split(self.make_rng("dn"))
                 flip = jax.random.uniform(kf, labels.shape) < self.dn_label_noise_ratio
                 rand_lb = jax.random.randint(kl, labels.shape, 0, self.num_classes)
@@ -272,8 +424,11 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
                     content = content + (u * 2 - 1) * noise_scale * content
             else:
                 content = jnp.asarray(label_enc)[labels]  # (B, scalar, N, C)
-                if self.dn_mode == "lb" and noise_scale > 0:
-                    # multiplicative embedding noise (reference :774-775)
+                if (self.dn_mode == "lb" or
+                        (self.dn_mode == "shift"
+                         and self.dn_label_noise_ratio <= 0)) and noise_scale > 0:
+                    # multiplicative embedding noise (reference :774-775;
+                    # 'shift' applies it only when label noise is off :1158-1162)
                     u = jax.random.uniform(self.make_rng("dn"), content.shape)
                     content = content + (u * 2 - 1) * noise_scale * content
             content = jnp.where(
@@ -315,7 +470,8 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             level = (i + 1) % self.num_feature_levels
             # per-layer DN mask refresh: 'points' mode only (reference
             # :1805-1816; other modes' refresh path is the dead branch)
-            refresh = use_dn and self.dn_mode == "points" and (self.all_lys or i < 3)
+            refresh = use_dn and (self.all_lys or i < 3) and \
+                self.dn_mode in ("points",) + _STATIC3_MODES
             outputs_class, outputs_mask, attn_mask = forward_prediction_heads(
                 output, size_list[level])
             if refresh:

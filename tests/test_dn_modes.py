@@ -72,3 +72,78 @@ def test_lysmooth_variant_runs():
     params = dec.init({"params": jax.random.PRNGKey(0)}, x, mf, None)
     out = dec.apply(params, x, mf, None)
     assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
+@pytest.mark.parametrize(
+    "mode", ["shift", "scale", "shift_scale", "patch", "points_MAE"])
+def test_geometric_dn_mode_runs(mode):
+    """v6-v9 modes (reference :1063-1580) forward + DN outputs."""
+    x, mf, tgt = _inputs()
+    tgt = tgt._replace(boxes=jnp.asarray(
+        np.tile([0.3, 0.3, 0.4, 0.4], (1, 3, 1)), jnp.float32))
+    dec = MultiScaleMaskedTransformerDecoderMaskDN(
+        in_channels=32, num_classes=5, hidden_dim=32, num_queries=6, nheads=4,
+        dim_feedforward=64, dec_layers=3, mask_dim=32, dn_mode=mode,
+        dn_label_noise_ratio=0.2, dn_ratio=0.5, all_lys=True)
+    dn = DNArgs(targets=tgt, scalar=2, noise_scale=0.3)
+    params = dec.init({"params": jax.random.PRNGKey(0),
+                       "dn": jax.random.PRNGKey(1)}, x, mf, dn, train=True)
+    out = dec.apply(params, x, mf, dn, train=True,
+                    rngs={"dn": jax.random.PRNGKey(2)})
+    assert out["dn_out"]["pred_logits"].shape == (1, 6, 6)
+    assert out["dn_out"]["pred_masks"].shape == (1, 6, 32, 32)
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
+def _static3(dec, tgt, mode_kwargs, noise_scale, scalar=1):
+    size_list = [(4, 4), (8, 8), (16, 16)]
+    gt = jnp.asarray(np.asarray(tgt.masks), jnp.float32)
+    return dec.apply(
+        {}, gt, tgt, scalar, noise_scale, size_list, 1, 3, scalar * 3,
+        method=MultiScaleMaskedTransformerDecoderMaskDN._static3_blocked,
+        rngs={"dn": jax.random.PRNGKey(3)})
+
+
+def test_static3_semantics():
+    """Noised-mask invariants of the geometric modes."""
+    _, _, tgt = _inputs()
+    from mp_former_tpu.utils.interp import resize
+
+    base_fg = np.asarray(  # nearest-downsample of GT to the 1/8 level (16x16)
+        resize(tgt.masks.astype(jnp.float32), (16, 16), "nearest") > 0.5
+    ).reshape(3, 256)
+
+    # shift with zero-size boxes -> zero delta -> identity placement
+    dec = MultiScaleMaskedTransformerDecoderMaskDN(
+        in_channels=32, num_classes=5, dn_mode="shift")
+    lv = _static3(dec, tgt, {}, noise_scale=0.5)
+    blocked8 = np.asarray(lv[2][0])  # (pad, 256) at the 1/8 level
+    for i in range(2):  # valid slots
+        np.testing.assert_array_equal(~blocked8[i], base_fg[i])
+    assert blocked8[2].all()  # invalid slot fully blocked
+
+    # scale with dn_ratio=1 -> never scaled -> identity
+    dec = MultiScaleMaskedTransformerDecoderMaskDN(
+        in_channels=32, num_classes=5, dn_mode="scale", dn_ratio=1.0)
+    lv = _static3(dec, tgt, {}, noise_scale=0.4)
+    blocked8 = np.asarray(lv[2][0])
+    for i in range(2):
+        np.testing.assert_array_equal(~blocked8[i], base_fg[i])
+
+    # patch: carved rectangle only ever adds visibility
+    dec = MultiScaleMaskedTransformerDecoderMaskDN(
+        in_channels=32, num_classes=5, dn_mode="patch")
+    lv = _static3(dec, tgt, {}, noise_scale=0.5)
+    blocked8 = np.asarray(lv[2][0])
+    for i in range(2):
+        assert (~blocked8[i] >= base_fg[i]).all()
+        assert (~blocked8[i]).sum() > base_fg[i].sum()  # rectangle carved
+
+    # points_MAE: noise only ever adds blocking
+    dec = MultiScaleMaskedTransformerDecoderMaskDN(
+        in_channels=32, num_classes=5, dn_mode="points_MAE")
+    lv = _static3(dec, tgt, {}, noise_scale=0.5)
+    blocked8 = np.asarray(lv[2][0])
+    for i in range(2):
+        assert (blocked8[i] >= ~base_fg[i]).all()
+        assert blocked8[i].sum() > (~base_fg[i]).sum()
