@@ -58,84 +58,50 @@ def main():
     p.add_argument("--output", default="demo_out")
     p.add_argument("--confidence-threshold", type=float, default=0.5)
     p.add_argument("--max-frames", type=int, default=100)
+    p.add_argument("--parallel", action="store_true",
+                   help="pipeline host work against device compute "
+                        "(reference AsyncPredictor)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = p.parse_args()
     if not (args.input or args.video_input or args.webcam):
         p.error("one of --input / --video-input / --webcam is required")
 
-    import jax
-    import jax.numpy as jnp
+    from predictor import VisualizationDemo
 
     from mp_former_tpu.config import (add_deeplab_config, add_maskformer2_config,
                                       get_cfg)
-    from mp_former_tpu.data.catalog import MetadataCatalog
-    from mp_former_tpu.engine.checkpoint_import import load_reference_weights
-    from mp_former_tpu.engine.eval_loop import postprocess_instance
-    from mp_former_tpu.inference import semantic_inference
-    from mp_former_tpu.models import build_model
 
     cfg = get_cfg()
     add_deeplab_config(cfg)
     add_maskformer2_config(cfg)
     cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(args.opts or [])
-    model = build_model(cfg)
     os.makedirs(args.output, exist_ok=True)
 
-    params = None
-    fwd = jax.jit(lambda p, im: model.apply(p, im, None, train=False))
+    demo = VisualizationDemo(cfg, parallel=args.parallel)
+    demo.threshold = args.confidence_threshold
 
-    def frame_iter():
-        if args.input:
-            for path in args.input:
-                yield path, cv2.imread(path)
-        elif args.video_input or args.webcam:
-            cap = cv2.VideoCapture(0 if args.webcam else args.video_input)
-            i = 0
-            while cap.isOpened() and i < args.max_frames:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                yield f"frame_{i:05d}.jpg", frame
-                i += 1
-            cap.release()
-
-    for path, img in frame_iter():
-        if img is None:
-            print(f"could not read {path}")
-            continue
-        h, w = img.shape[:2]
-        scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
-        nh = int(h * scale + 0.5 + 31) // 32 * 32
-        nw = int(w * scale + 0.5 + 31) // 32 * 32
-        resized = cv2.resize(cv2.cvtColor(img, cv2.COLOR_BGR2RGB), (nw, nh))
-        batch = jnp.asarray(resized[None].astype(np.float32))
-        if params is None:
-            params = model.init({"params": jax.random.PRNGKey(0)}, batch,
-                                None, train=False)
-            if cfg.MODEL.WEIGHTS:
-                params = {"params": load_reference_weights(
-                    cfg.MODEL.WEIGHTS, params["params"])}
-        out = fwd(params, batch)
-        logits = np.asarray(out["pred_logits"][0])
-        masks = np.asarray(out["pred_masks"][0])
-        base = os.path.join(args.output, os.path.basename(path))
-        if cfg.MODEL.MASK_FORMER.TEST.INSTANCE_ON:
-            scores, classes, bin_masks = postprocess_instance(
-                logits, masks, (nh, nw), h, w,
-                cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
-                cfg.TEST.DETECTIONS_PER_IMAGE)
-            vis = overlay_instances(img, scores, classes, bin_masks,
-                                    threshold=args.confidence_threshold)
-            cv2.imwrite(base.replace(".", "_instance.", 1), vis)
-        if cfg.MODEL.MASK_FORMER.TEST.SEMANTIC_ON:
-            from mp_former_tpu.utils.interp import resize as jresize
-
-            m = jresize(jnp.asarray(masks), (h, w), "bilinear")
-            sem = np.asarray(semantic_inference(jnp.asarray(logits), m))
-            cv2.imwrite(base.replace(".", "_semantic.", 1),
-                        overlay_semantic(img, sem))
-        print(f"wrote visualizations for {path}")
+    if args.input:
+        for path in args.input:
+            img = cv2.imread(path)
+            if img is None:
+                print(f"could not read {path}")
+                continue
+            predictions, vis = demo.run_on_image(img)
+            base = os.path.join(args.output, os.path.basename(path))
+            if "instances" in predictions:
+                cv2.imwrite(base.replace(".", "_instance.", 1), vis)
+            if "sem_seg" in predictions:
+                cv2.imwrite(base.replace(".", "_semantic.", 1),
+                            overlay_semantic(img, predictions["sem_seg"]))
+            print(f"wrote visualizations for {path}")
+    else:
+        cap = cv2.VideoCapture(0 if args.webcam else args.video_input)
+        for i, (_, vis) in enumerate(
+                demo.run_on_video(cap, max_frames=args.max_frames)):
+            cv2.imwrite(os.path.join(args.output, f"frame_{i:05d}.jpg"), vis)
+            print(f"wrote frame {i}")
+        cap.release()
 
 
 if __name__ == "__main__":

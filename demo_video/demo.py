@@ -5,7 +5,7 @@ file) and write per-frame track visualizations with consistent per-instance
 colors (TrackVisualizer role).
 
 Usage:
-  python demo_video/demo.py --config-file configs/youtubevis_2019/video_maskformer2_R50.yaml \
+  python demo_video/demo.py --config-file configs/youtubevis_2019/video_maskformer2_R50_bs16_8ep.yaml \
       --input frames_dir/ --output out_dir [opts ...]
 """
 

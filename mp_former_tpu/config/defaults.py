@@ -86,6 +86,8 @@ def get_cfg() -> CN:
     _C.SOLVER.MAX_ITER = 40000
     _C.SOLVER.STEPS = (30000,)
     _C.SOLVER.WARMUP_FACTOR = 1.0 / 1000
+    _C.SOLVER.BASE_LR_END = 0.0
+    _C.SOLVER.BIAS_LR_FACTOR = 1.0
     _C.SOLVER.WARMUP_ITERS = 1000
     _C.SOLVER.WARMUP_METHOD = "linear"
     _C.SOLVER.GAMMA = 0.1

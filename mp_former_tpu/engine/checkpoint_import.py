@@ -163,13 +163,13 @@ def convert_maskformer_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         backbone = swin_params_from_torch(sd, "backbone.")
     else:
         raise ValueError("Unrecognized backbone layout in state dict")
-    return {
-        "backbone": backbone,
-        "sem_seg_head": {
+    out = {"backbone": backbone}
+    if any(k.startswith("sem_seg_head.") for k in sd):
+        out["sem_seg_head"] = {
             "pixel_decoder": convert_pixel_decoder(sd),
             "predictor": convert_predictor(sd),
-        },
-    }
+        }
+    return out
 
 
 def _tree_shapes(tree, prefix=""):
@@ -182,21 +182,94 @@ def _tree_shapes(tree, prefix=""):
     return out
 
 
-def load_reference_weights(path: str, params_template) -> Any:
-    """Load + convert + verify against the flax param template structure."""
+def resolve_checkpoint_path(path: str):
+    """Resolve a cfg.MODEL.WEIGHTS string to a local file, or None.
+
+    Handles the d2 zoo scheme (`detectron2://ImageNetPretrained/...`) used by
+    the reference Base configs (e.g. Base-ADE20K-*.yaml:5) by searching the
+    usual iopath cache locations and the working directory; plain paths pass
+    through. Returns None when nothing exists locally (offline pods)."""
+    import os
+
+    if not path.startswith("detectron2://"):
+        return path if os.path.exists(path) else None
+    rel = path[len("detectron2://"):]
+    cands = [
+        os.path.join(os.environ.get("FVCORE_CACHE",
+                                    os.path.expanduser("~/.torch/iopath_cache")),
+                     "detectron2", rel),
+        os.path.join("checkpoints", os.path.basename(rel)),
+        os.path.basename(rel),
+    ]
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def load_reference_weights(path: str, params_template,
+                           strict: bool = False) -> Any:
+    """Load + convert a reference checkpoint into the flax param template.
+
+    d2 DetectionCheckpointer semantics (used at reference train_net.py:378):
+    keys present in both and shape-compatible are loaded; missing/unexpected
+    keys are logged, not fatal — this is what makes backbone-only ImageNet
+    pkls (`detectron2://ImageNetPretrained/torchvision/R-50.pkl`) loadable
+    into the full model. Pass strict=True to require an exact match.
+    """
+    import logging
+
     import jax
 
-    sd = load_state_dict(path)
+    logger = logging.getLogger(__name__)
+    local = resolve_checkpoint_path(path)
+    if local is None:
+        logger.warning(
+            "MODEL.WEIGHTS %s not found locally; keeping the fresh "
+            "initialization (download it or point MODEL.WEIGHTS at a file)",
+            path)
+        return jax.tree.map(np.asarray, params_template)
+    sd = load_state_dict(local)
+    if not any(k.startswith(("backbone.", "sem_seg_head.")) for k in sd):
+        # backbone-only zoo checkpoint (keys like "stem.conv1.weight")
+        sd = {f"backbone.{k}": v for k, v in sd.items()}
     converted = convert_maskformer_state_dict(sd)
     want = _tree_shapes(jax.tree.map(np.asarray, params_template))
     got = _tree_shapes(converted)
     missing = sorted(set(want) - set(got))
     unexpected = sorted(set(got) - set(want))
     mismatched = sorted(k for k in set(want) & set(got) if want[k] != got[k])
-    if missing or unexpected or mismatched:
+    matched = set(want) & set(got) - set(mismatched)
+    if strict and (missing or unexpected or mismatched):
         raise ValueError(
             f"checkpoint conversion mismatch:\n missing={missing[:10]}\n "
             f"unexpected={unexpected[:10]}\n shape-mismatch={mismatched[:10]}")
-    return jax.tree.map(
-        lambda t, c: np.asarray(c, dtype=np.asarray(t).dtype),
-        params_template, converted)
+    if not matched:
+        raise ValueError(
+            f"no checkpoint key matched the model: unexpected={unexpected[:10]}")
+    if missing or unexpected or mismatched:
+        logger.warning(
+            "partial checkpoint load: %d loaded, %d missing (e.g. %s), "
+            "%d unexpected, %d shape-mismatched",
+            len(matched), len(missing), missing[:3], len(unexpected),
+            len(mismatched))
+    def _flatten(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(_flatten(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = v
+        return out
+
+    flat = _flatten(converted)
+
+    def pick(keypath, t):
+        k = "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                     for p in keypath)
+        c = flat.get(k)
+        if c is None or tuple(np.shape(c)) != tuple(np.shape(t)):
+            return np.asarray(t)
+        return np.asarray(c, dtype=np.asarray(t).dtype)
+
+    return jax.tree_util.tree_map_with_path(pick, params_template)

@@ -14,7 +14,7 @@ def test_swin_tiny_model_builds_and_runs():
     add_deeplab_config(cfg)
     add_maskformer2_config(cfg)
     cfg.merge_from_file(
-        "configs/coco/instance-segmentation/maskformer2_swin_large_IN21k_384_bs16_100ep.yaml")
+        "configs/coco/instance-segmentation/swin/maskformer2_swin_large_IN21k_384_bs16_100ep.yaml")
     # shrink to a test-size swin while keeping the real composition path
     cfg.merge_from_list([
         "MODEL.SWIN.EMBED_DIM", "16",
