@@ -400,8 +400,13 @@ for task, mapper, flags in [
                     queries=200 if task == "panoptic-segmentation" else None))
 
 # ----------------------------------------------------------------- COCO
-coco_inst_base = "Base-COCO-InstanceSegmentation.yaml"  # exists already
+coco_inst_base = "Base-COCO-InstanceSegmentation.yaml"
 coco_pan_base = "Base-COCO-PanopticSegmentation.yaml"
+emit(f"coco/instance-segmentation/{coco_inst_base}",
+     "COCO instance base: R50, LSJ 1024, 50-epoch AdamW schedule.",
+     backbone_r50(), datasets("coco_2017_train", "coco_2017_val"),
+     solver_lsj("(327778, 355092)", 368750), input_lsj("coco_instance_lsj"),
+     ["TEST:", "  EVAL_PERIOD: 5000"], tail())
 emit(f"coco/panoptic-segmentation/{coco_pan_base}",
      "COCO panoptic base: R50, LSJ 1024, 50-epoch AdamW schedule.",
      backbone_r50(),
@@ -521,9 +526,49 @@ for year, steps, mi in [("2019", "(4000,)", 6000), ("2021", "(5500,)", 8000)]:
              *blocks)
 
 
+def sort_blocks(text):
+    """Alphabetize keys within every mapping block (YAML order is
+    semantically irrelevant; house style sorts for scanability).
+    File comments and _BASE_ stay on top."""
+    lines = text.rstrip("\n").split("\n")
+    head = []
+    while lines and (lines[0].startswith("#") or lines[0].startswith("_BASE_")):
+        head.append(lines.pop(0))
+
+    def parse(i, indent):
+        items = []
+        while i < len(lines):
+            line = lines[i]
+            cur = len(line) - len(line.lstrip())
+            if cur < indent:
+                break
+            key = line.strip().split(":")[0]
+            i += 1
+            child = []
+            while i < len(lines):
+                nxt = len(lines[i]) - len(lines[i].lstrip())
+                if nxt <= cur:
+                    break
+                child, i = parse(i, nxt)
+                break
+            items.append((key, line, child))
+        items.sort(key=lambda kv: kv[0])
+        return items, i
+
+    tree, _ = parse(0, 0)
+
+    def emit_tree(items, out):
+        for _, line, child in items:
+            out.append(line)
+            emit_tree(child, out)
+
+    out = list(head)
+    emit_tree(tree, out)
+    return "\n".join(out) + "\n"
+
+
 def main():
     skip = {  # hand-authored files kept as-is
-        "coco/instance-segmentation/Base-COCO-InstanceSegmentation.yaml",
         "coco/instance-segmentation/maskformer2_R50_bs16_12ep_DN_query.yaml",
     }
     written = 0
@@ -533,7 +578,7 @@ def main():
         path = os.path.join(ROOT, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            f.write(content)
+            f.write(sort_blocks(content).replace('"', "'"))
         written += 1
     print(f"wrote {written} configs under {os.path.abspath(ROOT)}")
 
