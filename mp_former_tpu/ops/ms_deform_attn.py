@@ -96,13 +96,21 @@ def ms_deform_attn(
         w10 = (1 - tx) * ty * pvalid
         w11 = tx * ty * pvalid
         tw = jnp.stack([w00, w01, w10, w11], axis=-1)   # (B, Q, M, P, 4)
+        # fold the per-point attention weight into the bilinear tap weights so
+        # the whole reduction happens in the gather row's native layout
+        tw = tw * w[..., None].astype(compute_dtype)
         tw = jnp.swapaxes(tw, 1, 2).reshape(B, M, Q * P, 4).astype(taps.dtype)
 
-        sampled = jnp.einsum(
-            "bmnt,bmntd->bmnd", tw, taps.reshape(B, M, Q * P, 4, D))
-        sampled = sampled.reshape(B, M, Q, P, D)
-        wl = jnp.swapaxes(w, 1, 2)[..., None].astype(sampled.dtype)  # (B, M, Q, P, 1)
-        out = out + jnp.swapaxes(jnp.sum(sampled * wl, axis=3), 1, 2).astype(value.dtype)
+        # weight taps elementwise in the packed (..., 4D) layout, then reduce
+        # the 4 taps with a 0/1 block-stacking matmul: keeping the 4D minor
+        # dimension intact avoids the relayout copies XLA emits for a
+        # (..., 4, D) einsum reduction (~2 ms/layer at 1024px, see
+        # PERFORMANCE.md)
+        wtaps = taps * jnp.repeat(tw, D, axis=-1)       # (B, M, Q*P, 4D)
+        stack = jnp.tile(jnp.eye(D, dtype=taps.dtype), (4, 1))  # (4D, D)
+        sampled = jnp.einsum("bmnk,kd->bmnd", wtaps, stack)
+        out = out + jnp.swapaxes(
+            sampled.reshape(B, M, Q, P, D).sum(axis=3), 1, 2).astype(value.dtype)
 
     return out.reshape(B, Q, M * D)
 
