@@ -240,6 +240,9 @@ def add_maskformer2_config(cfg: CN) -> None:
     cfg.TPU.PROFILE_DIR = ""           # capture a jax.profiler trace of steps 5-8
     cfg.TPU.MAX_PAIRS = 512            # static matched-pair budget for mask losses (0 = dense)
     cfg.TPU.POINT_SAMPLE_MODE = "grid"  # 'grid' (dense, fast) | 'random' (reference-exact points)
+    # pallas flash-style masked cross-attention (ops/fused_masked_attention).
+    # XLA's fused path measures within ~8% on v5e, so this stays opt-in.
+    cfg.TPU.FUSED_MASKED_ATTN = False
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:

@@ -266,7 +266,19 @@ class SetCriterion:
         num_random = self.num_points - num_uncertain
 
         unc = -jnp.abs(jax.lax.stop_gradient(logits))
-        kth = jax.lax.top_k(unc, num_uncertain)[0][:, -1:]
+        # only the k-th VALUE is needed (a threshold), not the sorted set; an
+        # exact top_k sorts all h*w entries per pair and costs ~170 ms/step
+        # at B=8 (TPU profile). Estimate the threshold on a strided subsample
+        # instead — the sampler is already stochastic (bernoulli extras), so
+        # a threshold within sampling noise of the exact kth is equivalent.
+        m = 1024
+        if s > 2 * m:
+            stride = s // m
+            sub = unc[:, :: stride][:, :m]
+            ksub = max(1, (num_uncertain * m) // s)
+            kth = jax.lax.top_k(sub, ksub)[0][:, -1:]
+        else:
+            kth = jax.lax.top_k(unc, num_uncertain)[0][:, -1:]
         sel_top = unc >= kth
         rand = jax.random.uniform(rng, logits.shape) < (num_random / s)
         sel_mask = (sel_top | rand).astype(jnp.float32)

@@ -77,6 +77,7 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
     dn_ratio: float = 0.5
     dn_label_noise_ratio: float = -1.0
     last_q_ratio: float = 0.0  # LYSmooth only
+    fused_attn: bool = False   # TPU.FUSED_MASKED_ATTN -> pallas kernel
     dtype: jnp.dtype = jnp.float32
 
     # whether this class carries the label_enc embedding (MaskDN does)
@@ -102,6 +103,7 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             dn_ratio=cfg.MODEL.MASK_FORMER.DN_RATIO,
             dn_label_noise_ratio=cfg.MODEL.MASK_FORMER.LB_NOISE_RATIO,
             last_q_ratio=cfg.MODEL.MASK_FORMER.LAST_Q_RATIO,
+            fused_attn=cfg.TPU.FUSED_MASKED_ATTN,
             dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
@@ -270,7 +272,8 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
         mask_embed_mlp = MLP(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
         cross_layers = [
             CrossAttentionLayer(C, heads, 0.0, normalize_before=self.pre_norm,
-                                dtype=self.dtype, name=f"transformer_cross_attention_layers_{i}")
+                                fused_attn=self.fused_attn, dtype=self.dtype,
+                                name=f"transformer_cross_attention_layers_{i}")
             for i in range(self.dec_layers)
         ]
         self_layers = [

@@ -26,6 +26,7 @@ class MultiheadAttention(nn.Module):
 
     embed_dim: int
     num_heads: int
+    fused: bool = False  # TPU.FUSED_MASKED_ATTN: pallas flash-style kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -49,17 +50,27 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhqd,bhsd->bhqs", q, k) / jnp.sqrt(D).astype(q.dtype)
         if attn_mask is not None:
             if attn_mask.ndim == 2:
-                m = attn_mask[None, None]
+                m = jnp.broadcast_to(attn_mask[None, None], (B, H, Q, S))
             elif attn_mask.ndim == 3:
                 m = attn_mask.reshape(B, H, Q, S)
             else:
                 m = attn_mask
-            logits = jnp.where(m, _NEG_INF, logits)
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqs,bhsd->bhqd", attn, v)
+        else:
+            m = None
+
+        if self.fused and m is not None and S % 512 == 0 \
+                and jax.default_backend() == "tpu":
+            from ...ops.fused_masked_attention import masked_attention
+
+            out = masked_attention(q, k, v, m)
+        else:
+            logits = jnp.einsum("bhqd,bhsd->bhqs", q, k) / jnp.sqrt(D).astype(q.dtype)
+            if m is not None:
+                logits = jnp.where(m, _NEG_INF, logits)
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqs,bhsd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Q, C)
         return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
 
@@ -97,6 +108,7 @@ class CrossAttentionLayer(nn.Module):
     dropout: float = 0.0
     activation: str = "relu"
     normalize_before: bool = False
+    fused_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,7 +117,8 @@ class CrossAttentionLayer(nn.Module):
         def attend(x):
             q = x if query_pos is None else x + query_pos
             k = memory if pos is None else memory + pos
-            return MultiheadAttention(self.d_model, self.nhead, dtype=self.dtype,
+            return MultiheadAttention(self.d_model, self.nhead,
+                                      fused=self.fused_attn, dtype=self.dtype,
                                       name="multihead_attn")(q, k, memory, attn_mask=memory_mask)
 
         drop = nn.Dropout(self.dropout, deterministic=not train)
