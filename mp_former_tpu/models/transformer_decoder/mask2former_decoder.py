@@ -22,8 +22,7 @@ by the validity mask.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ Examples (same flags as the reference, reference run_50ep_no_noise_all_ly.sh):
 import argparse
 import logging
 import os
-import sys
 
 
 def default_argument_parser():
