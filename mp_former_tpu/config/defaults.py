@@ -243,6 +243,10 @@ def add_maskformer2_config(cfg: CN) -> None:
     # pallas flash-style masked cross-attention (ops/fused_masked_attention).
     # XLA's fused path measures within ~8% on v5e, so this stays opt-in.
     cfg.TPU.FUSED_MASKED_ATTN = False
+    # rematerialize deformable encoder layers under autodiff. Required to fit
+    # bs8/512px on a 16GB chip; turn off for small batches to skip the
+    # recompute.
+    cfg.TPU.REMAT_ENCODER = True
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:

@@ -136,6 +136,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     transformer_in_features: Sequence[str] = ("res3", "res4", "res5")
     common_stride: int = 4
     maskformer_num_feature_levels: int = 3
+    remat: bool = True  # TPU.REMAT_ENCODER
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -153,6 +154,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             transformer_in_features=tuple(
                 cfg.MODEL.SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES),
             common_stride=cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE,
+            remat=cfg.TPU.REMAT_ENCODER,
             dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
@@ -188,6 +190,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             dim_feedforward=self.transformer_dim_feedforward,
             num_encoder_layers=self.transformer_enc_layers,
             num_feature_levels=len(tx_features),
+            remat=self.remat,
             dtype=self.dtype, name="transformer",
         )(srcs, pos, train=train)
 
