@@ -114,7 +114,7 @@ def test_verify_results():
     from mp_former_tpu.config import (get_cfg, add_deeplab_config,
                                       add_maskformer2_config)
 
-    res = {"instance": {"AP": 40.12}}
+    res = {"instance": {"segm": {"AP": 40.12}}}  # evaluators nest one level
     cfg = get_cfg(); add_deeplab_config(cfg); add_maskformer2_config(cfg)
     assert verify_results(cfg, res)  # empty spec -> no-op
     cfg.merge_from_list(

@@ -64,7 +64,13 @@ def verify_results(cfg, results):
         return True
     failures = []
     for task, metric, want, tol in expected:
-        got = results.get(task, {}).get(metric)
+        sub = results.get(task, {})
+        got = sub.get(metric)
+        if got is None:  # evaluators nest one level, e.g. {'segm': {'AP': x}}
+            for v in sub.values():
+                if isinstance(v, dict) and metric in v:
+                    got = v[metric]
+                    break
         if got is None:
             failures.append(f"{task}/{metric}: missing from results")
         elif abs(got - want) > tol:
