@@ -114,6 +114,18 @@ def auction_assign(cost: jax.Array, eps_final: float = 1e-5,
     q, n = cost.shape[-2:]
     c = cost.reshape((-1, q, n)).astype(jnp.float32)
     b = c.shape[0]
+    q_real = q
+    if n > q:
+        # more columns than rows (e.g. a toy config with fewer queries than
+        # target slots): square up with dummy rows priced above every real
+        # cost, so they absorb only the overflow columns. Those columns get
+        # an arbitrary real row afterwards — with this shape the assignment
+        # cannot be injective, matching the scipy path's behavior (its
+        # unmatched columns fall back to row 0).
+        pad = jnp.max(c, axis=(1, 2), keepdims=True) + 1.0
+        c = jnp.concatenate(
+            [c, jnp.broadcast_to(pad, (b, n - q, n))], axis=1)
+        q = n
     if n < q:
         c = jnp.concatenate([c, jnp.zeros((b, q, q - n), jnp.float32)], axis=-1)
     values = -jnp.swapaxes(c, 1, 2)  # (B, Q, Q)
@@ -153,4 +165,7 @@ def auction_assign(cost: jax.Array, eps_final: float = 1e-5,
         owner, price = _phase(values, eps, price, 4 * max_iters, col_active)
 
     col2row = _owner_to_col2row(owner, q)[:, :n]
-    return _fix_unassigned(col2row, q).reshape(lead + (n,))
+    col2row = _fix_unassigned(col2row, q)
+    if q_real < q:  # columns that landed on dummy rows -> arbitrary real row
+        col2row = jnp.where(col2row < q_real, col2row, col2row % q_real)
+    return col2row.reshape(lead + (n,))

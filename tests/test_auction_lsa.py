@@ -116,3 +116,23 @@ def test_col_valid_subproblem_optimal():
     ours = real[got[:v], np.arange(v)].sum()
     assert ours <= best + 0.05, (ours, best)
     assert len(set(got.tolist())) == n  # still a permutation
+
+
+def test_more_columns_than_rows():
+    """N > Q (fewer queries than target slots): the overflow columns get
+    arbitrary real rows, but the Q best columns match scipy's optimum."""
+    rng = np.random.RandomState(4)
+    cost = jnp.asarray(rng.rand(3, 6, 15).astype(np.float32))
+    got = np.asarray(auction_assign(cost))
+    assert got.shape == (3, 15)
+    assert (got >= 0).all() and (got < 6).all()
+    import scipy.optimize
+
+    for i in range(3):
+        rows, cols = scipy.optimize.linear_sum_assignment(np.asarray(cost[i]))
+        want = np.asarray(cost[i])[rows, cols].sum()
+        # the auction's chosen q columns cost within epsilon-bound of optimal
+        m = np.zeros(15, bool)
+        m[cols] = True
+        got_cost = np.asarray(cost[i])[got[i][m], np.arange(15)[m]].sum()
+        assert got_cost <= want + 0.05, (got_cost, want)

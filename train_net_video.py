@@ -61,9 +61,11 @@ def main(args):
 
         records = DatasetCatalog.get(cfg.DATASETS.TEST[0])
         t = cfg.INPUT.SAMPLING_FRAME_NUM
-        dummy = jnp.zeros((1, t, 384, 640, 3), jnp.float32)
-        params = model.init({"params": jax.random.PRNGKey(0)}, dummy, None,
-                            train=False)
+        # init under jit at a tiny size: param shapes are image-size
+        # independent, and eager init is pathologically slow on remote TPU
+        dummy = jnp.zeros((1, t, 64, 64, 3), jnp.float32)
+        params = jax.jit(lambda k, im: model.init(
+            {"params": k}, im, None, train=False))(jax.random.PRNGKey(0), dummy)
         if cfg.MODEL.WEIGHTS:
             params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS,
                                                        params["params"])}
@@ -97,9 +99,10 @@ def main(args):
     batch = [mapper(records[i % len(records)], rng)
              for i in range(cfg.SOLVER.IMS_PER_BATCH)]
     batch = collate([b for b in batch if b is not None])
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch["images"], None, train=True)["params"]
+    t = cfg.INPUT.SAMPLING_FRAME_NUM
+    params = jax.jit(lambda k, im: model.init(
+        {"params": k, "dropout": jax.random.PRNGKey(1)}, im, None, train=True)
+    )(jax.random.PRNGKey(0), jnp.zeros((1, t, 64, 64, 3), jnp.float32))["params"]
     tx = build_optimizer(cfg, params)
     state = create_train_state(params, tx)
 
