@@ -136,3 +136,26 @@ def test_eval_loop(synthetic_coco):
     results = inference_on_dataset(cfg, model, params, records, evaluator,
                                    max_images=2)
     assert "segm" in results and "AP" in results["segm"]
+
+
+def test_train_step_geometric_dn(synthetic_coco, tmp_path):
+    """One optimizer step with a geometric DN mode (v7 'shift_scale')
+    through the full Trainer path — locks the v6-v9 modes into training."""
+    cfg = _tiny_cfg(synthetic_coco)
+    cfg.MODEL.MASK_FORMER.DN_MODE = "shift_scale"
+    cfg.MODEL.DN.NOISE_SCALE = 0.3
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.OUTPUT_DIR = str(tmp_path / "out_geo")
+    cfg.freeze()
+
+    from mp_former_tpu.engine.trainer import Trainer
+
+    loader = build_train_loader(cfg)
+    trainer = Trainer(cfg, loader)
+    trainer.train(0)
+    loader.close()
+    m = json.loads(open(os.path.join(cfg.OUTPUT_DIR,
+                                     "metrics.json")).readline())
+    assert np.isfinite(m["total_loss"])
+    assert any(k.startswith("loss_mask_dn") or k == "loss_mask_dn"
+               or k.endswith("_dn") for k in m), sorted(m)[:10]
