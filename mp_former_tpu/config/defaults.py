@@ -247,6 +247,13 @@ def add_maskformer2_config(cfg: CN) -> None:
     # bs8/512px on a 16GB chip; turn off for small batches to skip the
     # recompute.
     cfg.TPU.REMAT_ENCODER = True
+    # deformable-attention sampling engine. 'packed2x2' = reference-exact
+    # per-head sampling locations (one 4D-wide gather row per point).
+    # 'headshare' = one location set shared across heads (one 4*M*D-wide row
+    # per point, M-fold fewer gather rows — the op is row-count-bound on TPU).
+    # headshare is a trained-from-scratch deviation; checkpoints do not
+    # interconvert with the reference.
+    cfg.TPU.SAMPLING_ENGINE = "packed2x2"
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:

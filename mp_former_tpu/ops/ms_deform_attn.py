@@ -175,11 +175,15 @@ def ms_deform_attn_headshare(
         tw = tw * pvalid[..., None]
         # fold per-head attention: (B, Q, P, 4, M)
         full = tw[..., None] * jnp.swapaxes(w, 2, 3).astype(compute_dtype)[..., None, :]
-        full = full.reshape(B, Q * P, 4 * M).astype(taps.dtype)
-        wtaps = taps * jnp.repeat(full, D, axis=-1)       # (B, Q*P, 4MD)
-        stack = jnp.tile(jnp.eye(M * D, dtype=taps.dtype), (4, 1))  # (4MD, MD)
-        sampled = jnp.einsum("bnk,kd->bnd", wtaps, stack)
-        out = out + sampled.reshape(B, Q, P, M, D).sum(axis=2).astype(value.dtype)
+        full = full.reshape(B, Q * P, 4, M).astype(taps.dtype)
+        # weight + reduce via layout-preserving splits of the gather row
+        # (the best of the XLA formulations measured at 1024px — repeat +
+        # 0/1-stack einsum, per-tap slice-adds, and batched-matvec einsums
+        # all relayout the 44 MB taps tensor and measure the same or worse;
+        # see PERFORMANCE.md round 2)
+        wtaps = taps.reshape(B, Q * P, 4, M, D) * full[..., None]
+        sampled = wtaps.sum(axis=2).reshape(B, Q, P, M, D).sum(axis=2)
+        out = out + sampled.astype(value.dtype)
 
     return out.reshape(B, Q, M * D)
 

@@ -1,0 +1,404 @@
+"""FULL-MODEL forward parity vs a torch oracle at flagship dimensions.
+
+Composes a torch replica of the whole reference eval forward — d2-layout
+ResNet-50 (FrozenBN, stride-in-3x3) -> MSDeformAttnPixelDecoder (6 deformable
+encoder layers + FPN) -> MaskDN decoder (9 layers, eval path) — with
+reference state-dict names, pushes the state_dict through
+`convert_maskformer_state_dict`, and asserts output parity of the composed
+JAX model (reference maskformer_model.py:177-279). Module-level parity tests
+pin each stage; this test pins the SEAMS between them (feature order,
+normalization, level routing) that a converter bug could silently break.
+
+The torch modules are behavioral replicas written from the reference's
+structure (msdeformattn.py:23-358, mask2former_transformer_decoder.py), not
+copies.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from mp_former_tpu.engine.checkpoint_import import convert_maskformer_state_dict
+from mp_former_tpu.config import get_cfg, add_deeplab_config, add_maskformer2_config
+from mp_former_tpu.models import build_model
+
+from test_ms_deform_attn import torch_oracle as msda_torch_oracle
+
+C = 256           # conv_dim == hidden_dim (flagship)
+HEADS = 8
+Q = 100
+K = 80
+DEC_LAYERS = 9    # DEC_LAYERS cfg 10 -> 9 iterations
+ENC_LAYERS = 6
+MASK_DIM = 256
+IMG = 128         # keeps the CPU runtime tolerable at full channel widths
+
+
+# --------------------------------------------------------------------------
+# torch ResNet-50, detectron2 layout (stem.conv1 + res{2..5}.{i}.conv{1..3},
+# FrozenBN as eval-mode affine BN, stride on the 3x3 conv)
+class _FrozenBN(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.register_buffer("weight", torch.randn(c) * 0.1 + 1.0)
+        self.register_buffer("bias", torch.randn(c) * 0.1)
+        self.register_buffer("running_mean", torch.randn(c) * 0.1)
+        self.register_buffer("running_var", torch.rand(c) + 0.5)
+
+    def forward(self, x):
+        scale = self.weight * (self.running_var + 1e-5).rsqrt()
+        return x * scale[None, :, None, None] + (
+            self.bias - self.running_mean * scale)[None, :, None, None]
+
+
+class _D2Conv(tnn.Module):
+    """Conv with attached .norm (d2 Conv2d(norm=...) state-dict layout)."""
+
+    def __init__(self, cin, cout, k, stride=1, padding=0):
+        super().__init__()
+        conv = tnn.Conv2d(cin, cout, k, stride=stride, padding=padding, bias=False)
+        self.weight = conv.weight
+        self._conv = conv
+        self.norm = _FrozenBN(cout)
+
+    def forward(self, x):
+        return self.norm(self._conv(x))
+
+
+class _D2Bottleneck(tnn.Module):
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        cout = planes * 4
+        self.conv1 = _D2Conv(cin, planes, 1)
+        self.conv2 = _D2Conv(planes, planes, 3, stride=stride, padding=1)
+        self.conv3 = _D2Conv(planes, cout, 1)
+        if stride != 1 or cin != cout:
+            self.shortcut = _D2Conv(cin, cout, 1, stride=stride)
+        else:
+            self.shortcut = None
+
+    def forward(self, x):
+        idn = x if self.shortcut is None else self.shortcut(x)
+        out = TF.relu(self.conv1(x))
+        out = TF.relu(self.conv2(out))
+        return TF.relu(self.conv3(out) + idn)
+
+
+class _D2Stem(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = _D2Conv(3, 64, 7, stride=2, padding=3)
+
+    def forward(self, x):
+        x = TF.relu(self.conv1(x))
+        return TF.max_pool2d(x, 3, stride=2, padding=1)
+
+
+class TorchD2ResNet50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.stem = _D2Stem()
+        cin = 64
+        for si, (planes, blocks, stride) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]):
+            stage = tnn.ModuleList(
+                [_D2Bottleneck(cin if j == 0 else planes * 4, planes,
+                               stride if j == 0 else 1)
+                 for j in range(blocks)])
+            setattr(self, f"res{si + 2}", stage)
+            cin = planes * 4
+
+    def forward(self, x):
+        x = self.stem(x)
+        feats = {}
+        for si in range(2, 6):
+            for blk in getattr(self, f"res{si}"):
+                x = blk(x)
+            feats[f"res{si}"] = x
+        return feats
+
+
+# --------------------------------------------------------------------------
+# torch MSDeformAttn pixel decoder (reference msdeformattn.py:23-358)
+def t_pe(h, w, npf):
+    """position_encoding.py math for an unmasked map (C, h, w)."""
+    y = torch.arange(1, h + 1, dtype=torch.float32)[:, None].expand(h, w)
+    x = torch.arange(1, w + 1, dtype=torch.float32)[None, :].expand(h, w)
+    scale = 2 * math.pi
+    eps = 1e-6
+    y = y / (h + eps) * scale
+    x = x / (w + eps) * scale
+    dim_t = torch.arange(npf, dtype=torch.float32)
+    dim_t = 10000 ** (2 * torch.div(dim_t, 2, rounding_mode="floor") / npf)
+    px = x[:, :, None] / dim_t
+    py = y[:, :, None] / dim_t
+    px = torch.stack((px[:, :, 0::2].sin(), px[:, :, 1::2].cos()), 3).flatten(2)
+    py = torch.stack((py[:, :, 0::2].sin(), py[:, :, 1::2].cos()), 3).flatten(2)
+    return torch.cat((py, px), 2).permute(2, 0, 1)
+
+
+class TorchMSDeformAttn(tnn.Module):
+    def __init__(self, d_model, n_levels, n_heads, n_points):
+        super().__init__()
+        self.n_levels, self.n_heads, self.n_points = n_levels, n_heads, n_points
+        self.d_model = d_model
+        self.sampling_offsets = tnn.Linear(d_model, n_heads * n_levels * n_points * 2)
+        self.attention_weights = tnn.Linear(d_model, n_heads * n_levels * n_points)
+        self.value_proj = tnn.Linear(d_model, d_model)
+        self.output_proj = tnn.Linear(d_model, d_model)
+
+    def forward(self, query, reference_points, input_flatten, shapes):
+        N, Lq, _ = query.shape
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        value = self.value_proj(input_flatten).view(
+            N, -1, M, self.d_model // M)
+        off = self.sampling_offsets(query).view(N, Lq, M, L, P, 2)
+        attn = TF.softmax(
+            self.attention_weights(query).view(N, Lq, M, L * P), -1
+        ).view(N, Lq, M, L, P)
+        normalizer = torch.tensor([[w, h] for h, w in shapes], dtype=torch.float32)
+        loc = (reference_points[:, :, None, :, None, :]
+               + off / normalizer[None, None, None, :, None, :])
+        out = msda_torch_oracle(value, shapes, loc, attn)
+        return self.output_proj(out)
+
+
+class TorchEncoderLayer(tnn.Module):
+    def __init__(self, d_model, d_ffn, n_levels, n_heads, n_points):
+        super().__init__()
+        self.self_attn = TorchMSDeformAttn(d_model, n_levels, n_heads, n_points)
+        self.norm1 = tnn.LayerNorm(d_model)
+        self.linear1 = tnn.Linear(d_model, d_ffn)
+        self.linear2 = tnn.Linear(d_ffn, d_model)
+        self.norm2 = tnn.LayerNorm(d_model)
+
+    def forward(self, src, pos, ref, shapes):
+        src = self.norm1(src + self.self_attn(src + pos, ref, src, shapes))
+        return self.norm2(src + self.linear2(TF.relu(self.linear1(src))))
+
+
+class TorchPixelDecoder(tnn.Module):
+    """state-dict names match the reference: input_proj.{i}.{0,1},
+    transformer.level_embed, transformer.encoder.layers.{j}, adapter_1/layer_1,
+    mask_features."""
+
+    def __init__(self):
+        super().__init__()
+        self.input_proj = tnn.ModuleList()
+        for cin in (2048, 1024, 512):  # res5, res4, res3
+            self.input_proj.append(tnn.Sequential(
+                tnn.Conv2d(cin, C, 1), tnn.GroupNorm(32, C)))
+        tx = tnn.Module()
+        tx.level_embed = tnn.Parameter(torch.randn(3, C))
+        tx.encoder = tnn.Module()
+        tx.encoder.layers = tnn.ModuleList(
+            [TorchEncoderLayer(C, 1024, 3, HEADS, 4) for _ in range(ENC_LAYERS)])
+        self.transformer = tx
+        self.adapter_1 = _GNConv(256, C, 1)
+        self.layer_1 = _GNConv(C, C, 3, padding=1)
+        self.mask_features = tnn.Conv2d(C, MASK_DIM, 1)
+
+    @staticmethod
+    def ref_points(shapes):
+        pts = []
+        for (h, w) in shapes:
+            ry, rx = torch.meshgrid(
+                torch.linspace(0.5, h - 0.5, h), torch.linspace(0.5, w - 0.5, w),
+                indexing="ij")
+            pts.append(torch.stack((rx.reshape(-1) / w, ry.reshape(-1) / h), -1))
+        ref = torch.cat(pts, 0)[None]             # (1, S, 2), valid_ratios = 1
+        return ref[:, :, None].expand(-1, -1, len(shapes), -1)
+
+    def forward(self, feats):
+        srcs, pos, shapes = [], [], []
+        for i, f in enumerate(("res5", "res4", "res3")):
+            x = self.input_proj[i](feats[f])
+            srcs.append(x)
+            shapes.append(tuple(x.shape[-2:]))
+            pos.append(t_pe(x.shape[-2], x.shape[-1], C // 2))
+        flat = torch.cat([s.flatten(2).transpose(1, 2) for s in srcs], 1)
+        pflat = torch.cat([
+            (p.flatten(1).transpose(0, 1)[None] + self.transformer.level_embed[i][None, None])
+            for i, p in enumerate(pos)], 1)
+        ref = self.ref_points(shapes)
+        out = flat
+        for layer in self.transformer.encoder.layers:
+            out = layer(out, pflat, ref, shapes)
+        # split levels
+        maps, start = [], 0
+        for (h, w) in shapes:
+            maps.append(out[:, start:start + h * w].transpose(1, 2).reshape(
+                -1, C, h, w))
+            start += h * w
+        # FPN to res2
+        lateral = self.adapter_1(feats["res2"])
+        y = lateral + TF.interpolate(maps[-1], size=lateral.shape[-2:],
+                                     mode="bilinear", align_corners=False)
+        y = TF.relu(self.layer_1(y))
+        return self.mask_features(y), maps
+
+
+class _GNConv(tnn.Module):
+    """d2 Conv2d(bias=False, norm=GN) layout: .weight + .norm.*"""
+
+    def __init__(self, cin, cout, k, padding=0):
+        super().__init__()
+        conv = tnn.Conv2d(cin, cout, k, padding=padding, bias=False)
+        self.weight = conv.weight
+        self._conv = conv
+        self.norm = tnn.GroupNorm(32, cout)
+
+    def forward(self, x):
+        return self.norm(self._conv(x))
+
+
+# --------------------------------------------------------------------------
+# torch MaskDN decoder, eval path (no DN; query_embed removed in MaskDN,
+# reference mask2former_transformer_decoder.py:676,730)
+class TorchMaskDNDecoder(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.transformer_self_attention_layers = tnn.ModuleList()
+        self.transformer_cross_attention_layers = tnn.ModuleList()
+        self.transformer_ffn_layers = tnn.ModuleList()
+        for _ in range(DEC_LAYERS):
+            sa = tnn.Module()
+            sa.self_attn = tnn.MultiheadAttention(C, HEADS)
+            sa.norm = tnn.LayerNorm(C)
+            self.transformer_self_attention_layers.append(sa)
+            ca = tnn.Module()
+            ca.multihead_attn = tnn.MultiheadAttention(C, HEADS)
+            ca.norm = tnn.LayerNorm(C)
+            self.transformer_cross_attention_layers.append(ca)
+            ff = tnn.Module()
+            ff.linear1 = tnn.Linear(C, 2048)
+            ff.linear2 = tnn.Linear(2048, C)
+            ff.norm = tnn.LayerNorm(C)
+            self.transformer_ffn_layers.append(ff)
+        self.decoder_norm = tnn.LayerNorm(C)
+        self.query_feat = tnn.Embedding(Q, C)
+        self.level_embed = tnn.Embedding(3, C)
+        self.class_embed = tnn.Linear(C, K + 1)
+        self.mask_embed = tnn.Module()
+        self.mask_embed.layers = tnn.ModuleList(
+            [tnn.Linear(C, C), tnn.Linear(C, C), tnn.Linear(C, MASK_DIM)])
+        self.label_enc = tnn.Embedding(K, C)  # unused at eval, present in sd
+
+    def heads(self, output, mask_features, size):
+        dec = self.decoder_norm(output).transpose(0, 1)
+        cls = self.class_embed(dec)
+        memb = dec
+        for i, l in enumerate(self.mask_embed.layers):
+            memb = l(memb)
+            if i < 2:
+                memb = TF.relu(memb)
+        om = torch.einsum("bqc,bchw->bqhw", memb, mask_features)
+        am = TF.interpolate(om, size=size, mode="bilinear", align_corners=False)
+        am = (am.sigmoid().flatten(2).unsqueeze(1).repeat(1, HEADS, 1, 1)
+              .flatten(0, 1) < 0.5).bool()
+        return cls, om, am.detach()
+
+    def forward(self, x, mask_features):
+        src, pos, sizes = [], [], []
+        for i, xi in enumerate(x):
+            h, w = xi.shape[-2:]
+            sizes.append((h, w))
+            pos.append(t_pe(h, w, C // 2).flatten(1).permute(1, 0).unsqueeze(1))
+            src.append(xi.flatten(2).permute(2, 0, 1)
+                       + self.level_embed.weight[i][None, None, :])
+        bs = x[0].shape[0]
+        output = self.query_feat.weight.unsqueeze(1).repeat(1, bs, 1)
+        cls, om, am = self.heads(output, mask_features, sizes[0])
+        for i in range(DEC_LAYERS):
+            lvl = i % 3
+            am[torch.where(am.sum(-1) == am.shape[-1])] = False
+            ca = self.transformer_cross_attention_layers[i]
+            out2 = ca.multihead_attn(
+                query=output, key=src[lvl] + pos[lvl], value=src[lvl],
+                attn_mask=am)[0]
+            output = ca.norm(output + out2)
+            sa = self.transformer_self_attention_layers[i]
+            out2 = sa.self_attn(output, output, value=output)[0]
+            output = sa.norm(output + out2)
+            ff = self.transformer_ffn_layers[i]
+            output = ff.norm(output + ff.linear2(TF.relu(ff.linear1(output))))
+            cls, om, am = self.heads(output, mask_features, sizes[(i + 1) % 3])
+        return cls, om
+
+
+class TorchMPFormer(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = TorchD2ResNet50()
+        head = tnn.Module()
+        head.pixel_decoder = TorchPixelDecoder()
+        head.predictor = TorchMaskDNDecoder()
+        self.sem_seg_head = head
+
+    def forward(self, images):
+        mean = torch.tensor([123.675, 116.280, 103.530])[None, :, None, None]
+        std = torch.tensor([58.395, 57.120, 57.375])[None, :, None, None]
+        feats = self.backbone((images - mean) / std)
+        mask_features, maps = self.sem_seg_head.pixel_decoder(feats)
+        # multi_scale order: 1/32, 1/16, 1/8 (reference msdeformattn.py:352-356)
+        return self.sem_seg_head.predictor(maps, mask_features)
+
+
+def _jax_cfg():
+    cfg = get_cfg()
+    add_deeplab_config(cfg)
+    add_maskformer2_config(cfg)
+    cfg.merge_from_file("configs/coco/instance-segmentation/maskformer2_R50_bs16_12ep_DN_query.yaml")
+    cfg.merge_from_list([
+        "MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME",
+        "MultiScaleMaskedTransformerDecoderMaskDN",
+        "MODEL.MASK_FORMER.DROPOUT", "0.0",
+    ])
+    return cfg
+
+
+@pytest.mark.slow
+def test_full_model_forward_matches_torch():
+    torch.manual_seed(0)
+    tmodel = TorchMPFormer().eval()
+    # shrink init scale of the deformable offsets so sampling locations stay
+    # in a realistic range (random init would sample far off-image)
+    for layer in tmodel.sem_seg_head.pixel_decoder.transformer.encoder.layers:
+        for lin in (layer.self_attn.sampling_offsets,):
+            tnn.init.uniform_(lin.weight, -0.01, 0.01)
+            tnn.init.uniform_(lin.bias, -2.0, 2.0)
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_maskformer_state_dict(sd)
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(1, IMG, IMG, 3) * 255).astype(np.float32)
+    with torch.no_grad():
+        want_cls, want_mask = tmodel(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)))
+
+    cfg = _jax_cfg()
+    model = build_model(cfg)
+    out = model.apply({"params": params}, jnp.asarray(img), None, train=False)
+
+    got_cls = np.asarray(out["pred_logits"], np.float32)
+    got_mask = np.asarray(out["pred_masks"], np.float32)
+    assert got_cls.shape == tuple(want_cls.shape)
+    assert got_mask.shape == tuple(want_mask.shape)
+
+    cls_err = np.abs(got_cls - want_cls.numpy()).max()
+    mask_err = np.abs(got_mask - want_mask.numpy()).max()
+    assert cls_err < 1e-3, f"pred_logits max err {cls_err}"
+    assert mask_err < 1e-2, f"pred_masks max err {mask_err}"
+    # thresholded masks identical except where logits sit within tolerance
+    # of the threshold itself
+    near0 = np.abs(want_mask.numpy()) < 5e-2
+    agree = (got_mask > 0) == (want_mask.numpy() > 0)
+    assert (agree | near0).all()

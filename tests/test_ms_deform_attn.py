@@ -116,3 +116,57 @@ def test_module_init_matches_reference_scheme():
     assert np.all(np.asarray(params["params"]["sampling_offsets"]["kernel"]) == 0)
     out = m.apply(params, q, ref, flat, [(6, 4), (3, 2)])
     assert out.shape == (1, 5, 32)
+
+
+def test_headshare_engine_matches_packed2x2_on_shared_locations():
+    """ms_deform_attn_headshare == ms_deform_attn when every head of the
+    packed2x2 path is given the same (head-0) locations."""
+    import jax.numpy as jnp
+    from mp_former_tpu.ops.ms_deform_attn import (
+        ms_deform_attn, ms_deform_attn_headshare)
+
+    rng = np.random.RandomState(0)
+    spatial = [(12, 16), (6, 8), (3, 4)]
+    B, M, D, P = 2, 4, 8, 4
+    Q = 10
+    S = sum(h * w for h, w in spatial)
+    value = jnp.asarray(rng.randn(B, S, M, D).astype(np.float32))
+    loc = jnp.asarray(rng.rand(B, Q, len(spatial), P, 2).astype(np.float32))
+    loc = loc * 1.3 - 0.15  # include out-of-image points
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Q, M, len(spatial) * P).astype(np.float32)), -1
+    ).reshape(B, Q, M, len(spatial), P)
+
+    shared = ms_deform_attn_headshare(value, spatial, loc, attn)
+    loc_bcast = jnp.broadcast_to(
+        loc[:, :, None], (B, Q, M, len(spatial), P, 2))
+    ref = ms_deform_attn(value, spatial, loc_bcast, attn)
+    np.testing.assert_allclose(
+        np.asarray(shared), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_headshare_module_forward_and_grad():
+    """MSDeformAttn(sampling_engine='headshare') runs, differs in param
+    shapes (shared offsets head), and has finite grads."""
+    from mp_former_tpu.ops.ms_deform_attn import MSDeformAttn
+
+    rng = np.random.RandomState(1)
+    spatial = [(8, 8), (4, 4)]
+    S = sum(h * w for h, w in spatial)
+    B, Q, C = 1, 6, 32
+    query = jnp.asarray(rng.randn(B, Q, C).astype(np.float32))
+    inp = jnp.asarray(rng.randn(B, S, C).astype(np.float32))
+    ref_pts = jnp.asarray(rng.rand(B, Q, len(spatial), 2).astype(np.float32))
+
+    m = MSDeformAttn(d_model=C, n_levels=2, n_heads=4, n_points=4,
+                     sampling_engine="headshare")
+    params = m.init(jax.random.PRNGKey(0), query, ref_pts, inp, spatial)
+    k = params["params"]["sampling_offsets"]["kernel"]
+    assert k.shape == (C, 2 * 4 * 2)  # L*P*2, no head dim
+
+    def loss(p):
+        return jnp.sum(m.apply(p, query, ref_pts, inp, spatial) ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
