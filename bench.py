@@ -1,7 +1,14 @@
 """Benchmark: single-chip segmentation inference throughput (images/sec).
 
 Flagship config: R50 MaskFormer, COCO instance, 1024x1024 LSJ eval resolution
-(reference Base-COCO-InstanceSegmentation.yaml INPUT.IMAGE_SIZE: 1024).
+(reference Base-COCO-InstanceSegmentation.yaml INPUT.IMAGE_SIZE: 1024), in
+the TPU-native inference configuration: bf16 compute, head-shared deformable
+sampling (TPU.SAMPLING_ENGINE=headshare — 8x fewer gather rows; a gated,
+trained-from-scratch deviation from the reference's per-head sampling
+locations), and the Pallas tap-weighting kernel. The reference-exact
+configuration (packed2x2/fp32) and the full measurement ladder are in
+PERFORMANCE.md.
+
 Baseline: Mask2Former R50 reports 8.6 fps on V100 (paper, Table); the
 north-star targets A100-class throughput — we take 2x V100 = 17.2 img/s as
 the A100 estimate (BASELINE.json: no in-repo throughput number exists).
@@ -33,6 +40,11 @@ def main():
     from __graft_entry__ import _flagship_cfg
 
     cfg = _flagship_cfg()
+    cfg.merge_from_list([
+        "TPU.COMPUTE_DTYPE", "bfloat16",
+        "TPU.SAMPLING_ENGINE", "headshare",
+        "TPU.PALLAS_TAP_WEIGHTING", "True",
+    ])
     model = build_model(cfg)
 
     batch = 1  # per-image latency is currently minimized at batch 1

@@ -254,6 +254,10 @@ def add_maskformer2_config(cfg: CN) -> None:
     # headshare is a trained-from-scratch deviation; checkpoints do not
     # interconvert with the reference.
     cfg.TPU.SAMPLING_ENGINE = "packed2x2"
+    # fuse the headshare engine's tap weighting into a Pallas VPU kernel
+    # (XLA relayouts the taps tensor otherwise; no-op for packed2x2 and on
+    # non-TPU backends)
+    cfg.TPU.PALLAS_TAP_WEIGHTING = False
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:

@@ -50,6 +50,7 @@ class MSDeformAttnTransformerEncoderLayer(nn.Module):
     spatial_shapes: Tuple[Tuple[int, int], ...] = ()
     train_mode: bool = False  # static (baked at construction for nn.remat)
     sampling_engine: str = "packed2x2"  # TPU.SAMPLING_ENGINE
+    pallas_weighting: bool = False      # TPU.PALLAS_TAP_WEIGHTING
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,6 +60,7 @@ class MSDeformAttnTransformerEncoderLayer(nn.Module):
         src2 = MSDeformAttn(
             d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
             n_points=self.n_points, sampling_engine=self.sampling_engine,
+            pallas_weighting=self.pallas_weighting,
             dtype=self.dtype, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = src + drop(src2)
@@ -83,6 +85,7 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
     enc_n_points: int = 4
     remat: bool = True
     sampling_engine: str = "packed2x2"
+    pallas_weighting: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,6 +123,7 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
                 n_heads=self.nhead, n_points=self.enc_n_points,
                 spatial_shapes=spatial_shapes, train_mode=train,
                 sampling_engine=self.sampling_engine,
+                pallas_weighting=self.pallas_weighting,
                 dtype=self.dtype, name=f"encoder_layers_{i}",
             )(out, pos_flat, ref)
         return out, spatial_shapes
@@ -142,6 +146,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     maskformer_num_feature_levels: int = 3
     remat: bool = True  # TPU.REMAT_ENCODER
     sampling_engine: str = "packed2x2"  # TPU.SAMPLING_ENGINE
+    pallas_weighting: bool = False      # TPU.PALLAS_TAP_WEIGHTING
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -161,6 +166,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             common_stride=cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE,
             remat=cfg.TPU.REMAT_ENCODER,
             sampling_engine=cfg.TPU.SAMPLING_ENGINE,
+            pallas_weighting=cfg.TPU.PALLAS_TAP_WEIGHTING,
             dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
@@ -198,6 +204,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             num_feature_levels=len(tx_features),
             remat=self.remat,
             sampling_engine=self.sampling_engine,
+            pallas_weighting=self.pallas_weighting,
             dtype=self.dtype, name="transformer",
         )(srcs, pos, train=train)
 

@@ -83,7 +83,8 @@ def ms_deform_attn(
         by = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)
         idx = by * (W + 1) + bx                         # (B, Q, M, P)
         idx = jnp.swapaxes(idx, 1, 2).reshape(B, M, Q * P, 1)
-        taps = jnp.take_along_axis(patch, idx, axis=2)  # (B, M, Q*P, 4D)
+        taps = jnp.take_along_axis(
+            patch, idx, axis=2, mode="promise_in_bounds")  # (B, M, Q*P, 4D)
 
         # if the patch base is unclipped (x0 in [-1, W-1], y0 in [-1, H-1]),
         # every tap either reads a real pixel or the zero padding — exactly
@@ -120,6 +121,7 @@ def ms_deform_attn_headshare(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
+    pallas_weighting: bool = False,
 ) -> jax.Array:
     """Head-shared deformable sampling (TPU-optimized engine).
 
@@ -165,8 +167,7 @@ def ms_deform_attn_headshare(
         ty = fy - y0
         bx = jnp.clip(x0 + 1, 0, W).astype(jnp.int32)
         by = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)
-        idx = (by * (W + 1) + bx).reshape(B, Q * P, 1)
-        taps = jnp.take_along_axis(patch, idx, axis=1)   # (B, Q*P, 4MD)
+        idx = (by * (W + 1) + bx)                        # (B, Q, P)
 
         pvalid = ((x0 >= -1) & (x0 <= W - 1)
                   & (y0 >= -1) & (y0 <= H - 1)).astype(compute_dtype)
@@ -175,15 +176,29 @@ def ms_deform_attn_headshare(
         tw = tw * pvalid[..., None]
         # fold per-head attention: (B, Q, P, 4, M)
         full = tw[..., None] * jnp.swapaxes(w, 2, 3).astype(compute_dtype)[..., None, :]
-        full = full.reshape(B, Q * P, 4, M).astype(taps.dtype)
-        # weight + reduce via layout-preserving splits of the gather row
-        # (the best of the XLA formulations measured at 1024px — repeat +
-        # 0/1-stack einsum, per-tap slice-adds, and batched-matvec einsums
-        # all relayout the 44 MB taps tensor and measure the same or worse;
-        # see PERFORMANCE.md round 2)
-        wtaps = taps.reshape(B, Q * P, 4, M, D) * full[..., None]
-        sampled = wtaps.sum(axis=2).reshape(B, Q, P, M, D).sum(axis=2)
-        out = out + sampled.astype(value.dtype)
+
+        if pallas_weighting:
+            # point-major rows; the fused VPU kernel streams the taps once
+            idx_pm = jnp.swapaxes(idx, 1, 2).reshape(B, P * Q, 1)
+            taps = jnp.take_along_axis(
+                patch, idx_pm, axis=1, mode="promise_in_bounds")  # (B, P*Q, 4MD)
+            w_pm = jnp.swapaxes(full, 1, 2).reshape(B, P * Q, 4 * M)
+            from .tap_weighting import weight_taps
+            sampled = weight_taps(taps, w_pm.astype(taps.dtype), P, M, D)
+            out = out + sampled.reshape(B, Q, M, D).astype(value.dtype)
+        else:
+            taps = jnp.take_along_axis(
+                patch, idx.reshape(B, Q * P, 1), axis=1,
+                mode="promise_in_bounds")  # (B, Q*P, 4MD)
+            fl = full.reshape(B, Q * P, 4, M).astype(taps.dtype)
+            # weight + reduce via layout-preserving splits of the gather row
+            # (the best of the XLA formulations measured at 1024px — repeat +
+            # 0/1-stack einsum, per-tap slice-adds, and batched-matvec einsums
+            # all relayout the 44 MB taps tensor and measure the same or
+            # worse; see PERFORMANCE.md round 2)
+            wtaps = taps.reshape(B, Q * P, 4, M, D) * fl[..., None]
+            sampled = wtaps.sum(axis=2).reshape(B, Q, P, M, D).sum(axis=2)
+            out = out + sampled.astype(value.dtype)
 
     return out.reshape(B, Q, M * D)
 
@@ -204,6 +219,9 @@ class MSDeformAttn(nn.Module):
     # location set shared by all heads (TPU.SAMPLING_ENGINE; see
     # ms_deform_attn_headshare). Checkpoints do not interconvert.
     sampling_engine: str = "packed2x2"
+    # fuse the headshare tap weighting into a Pallas VPU kernel (TPU only;
+    # falls back to XLA on other backends). TPU.PALLAS_TAP_WEIGHTING.
+    pallas_weighting: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _offset_bias_init(self, key, shape, dtype=jnp.float32):
@@ -279,7 +297,9 @@ class MSDeformAttn(nn.Module):
                        + offsets / P * reference_points[:, :, :, None, 2:] * 0.5)
             else:
                 raise ValueError("reference_points last dim must be 2 or 4")
-            out = ms_deform_attn_headshare(value, spatial_shapes, loc, attn)
+            out = ms_deform_attn_headshare(
+                value, spatial_shapes, loc, attn,
+                pallas_weighting=self.pallas_weighting)
             return nn.Dense(self.d_model, dtype=self.dtype,
                             kernel_init=nn.initializers.xavier_uniform(),
                             name="output_proj")(out)

@@ -1,0 +1,140 @@
+"""Pallas TPU kernel for the deformable-attention tap weighting.
+
+The head-shared sampling engine gathers rows of shape (4*M*D,) — the 2x2
+bilinear taps of all M heads for one (query, point) — and then reduces
+them with per-(point, tap, head) weights:
+
+    out[q, m, d] = sum_{p, t} taps[(p, q), (t, m, d)] * w[(p, q), (t, m)]
+
+Every XLA formulation of this reduction (multiply+reduce, 0/1-stack matmul,
+slice-adds, batched matvec) transposes the taps tensor for its reduce —
+~40 ms/img of layout copies at 1024px (PERFORMANCE.md round 2). The taps
+only need to be READ ONCE: this kernel streams them through VMEM, does the
+multiply-accumulate on the VPU with lane-aligned slices, and accumulates the
+point sum across grid steps in the revisited output block.
+
+Rows are point-major ((p, q) order) so each grid step's q-block is
+contiguous; the output block index depends only on q, so the P revisits are
+consecutive and accumulate in VMEM.
+
+Forward-only kernel with a custom VJP whose backward is plain XLA (training
+spends its time elsewhere; the backward of a weighting is two multiplies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(taps_ref, w_ref, o_ref, acc_ref, *, n_taps: int, n_heads: int,
+            d: int, n_points: int):
+    p = pl.program_id(1)
+
+    for m in range(n_heads):
+        acc = None
+        for t in range(n_taps):
+            k = t * n_heads + m
+            term = (taps_ref[:, k * d:(k + 1) * d].astype(jnp.float32)
+                    * w_ref[:, k:k + 1].astype(jnp.float32))
+            acc = term if acc is None else acc + term
+
+        @pl.when(p == 0)
+        def _init():
+            acc_ref[:, m * d:(m + 1) * d] = acc
+
+        @pl.when(p != 0)
+        def _accum():
+            acc_ref[:, m * d:(m + 1) * d] += acc
+
+    @pl.when(p == n_points - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def weight_taps_reference(taps, w, n_points, n_heads, d):
+    """out[b, q, (m d)] = sum_{p, t} taps[b, (p q), (t m d)] * w[b, (p q), (t m)]."""
+    b, pq, tmd = taps.shape
+    q = pq // n_points
+    t = tmd // (n_heads * d)
+    wt = (taps.reshape(b, n_points, q, t, n_heads, d)
+          * w.reshape(b, n_points, q, t, n_heads)[..., None].astype(taps.dtype))
+    return wt.sum(axis=(1, 3)).reshape(b, q, n_heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def weight_taps(taps, w, n_points, n_heads, d):
+    """Pallas on TPU, XLA elsewhere. taps (B, P*Q, T*M*D) bf16/f32,
+    w (B, P*Q, T*M), returns (B, Q, M*D) in taps.dtype."""
+    return _weight_taps_fwd_impl(taps, w, n_points, n_heads, d)
+
+
+def _weight_taps_fwd_impl(taps, w, n_points, n_heads, d):
+    if jax.default_backend() != "tpu":
+        return weight_taps_reference(taps, w, n_points, n_heads, d)
+    b, pq, tmd = taps.shape
+    q = pq // n_points
+    n_taps = tmd // (n_heads * d)
+    md = n_heads * d
+
+    bq = 1024 if q % 1024 == 0 or q > 8192 else 512
+    q_pad = (q + bq - 1) // bq * bq
+    if q_pad != q:
+        # pad each point's q-block (rows are point-major)
+        taps = taps.reshape(b, n_points, q, tmd)
+        taps = jnp.pad(taps, ((0, 0), (0, 0), (0, q_pad - q), (0, 0)))
+        taps = taps.reshape(b, n_points * q_pad, tmd)
+        w = w.reshape(b, n_points, q, w.shape[-1])
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, q_pad - q), (0, 0)))
+        w = w.reshape(b, n_points * q_pad, w.shape[-1])
+
+    kern = functools.partial(_kernel, n_taps=n_taps, n_heads=n_heads, d=d,
+                             n_points=n_points)
+    outs = []
+    for bi in range(b):  # tiny b at eval; grid batching via index_map closure
+        outs.append(_call_one(kern, taps[bi], w[bi], q_pad, bq, n_points,
+                              tmd, n_taps, n_heads, md, taps.dtype))
+    out = jnp.stack(outs)
+    return out[:, :q]
+
+
+def _call_one(kern, taps, w, q_pad, bq, n_points, tmd, n_taps, n_heads, md,
+              out_dtype):
+    nq = q_pad // bq
+    return pl.pallas_call(
+        kern,
+        grid=(nq, n_points),
+        in_specs=[
+            pl.BlockSpec((bq, tmd), lambda qi, p: (p * nq + qi, 0)),
+            pl.BlockSpec((bq, n_taps * n_heads), lambda qi, p: (p * nq + qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((bq, md), lambda qi, p: (qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((q_pad, md), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bq, md), jnp.float32)],
+    )(taps, w)
+
+
+def _fwd(taps, w, n_points, n_heads, d):
+    return _weight_taps_fwd_impl(taps, w, n_points, n_heads, d), (taps, w)
+
+
+def _bwd(n_points, n_heads, d, res, g):
+    taps, w = res
+    b, pq, tmd = taps.shape
+    q = pq // n_points
+    t = tmd // (n_heads * d)
+    g = g.astype(jnp.float32)                       # (B, Q, M*D)
+    g5 = g.reshape(b, 1, q, 1, n_heads, d)
+    w6 = w.reshape(b, n_points, q, t, n_heads, 1).astype(jnp.float32)
+    gt = jnp.broadcast_to(g5 * w6, (b, n_points, q, t, n_heads, d))
+    taps6 = taps.reshape(b, n_points, q, t, n_heads, d).astype(jnp.float32)
+    gw = (taps6 * g5).sum(axis=-1)                  # (B, P, Q, T, M)
+    return (gt.reshape(taps.shape).astype(taps.dtype),
+            gw.reshape(w.shape).astype(w.dtype))
+
+
+weight_taps.defvjp(_fwd, _bwd)
