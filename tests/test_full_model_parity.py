@@ -364,7 +364,7 @@ def _jax_cfg():
     return cfg
 
 
-@pytest.mark.slow
+
 def test_full_model_forward_matches_torch():
     torch.manual_seed(0)
     tmodel = TorchMPFormer().eval()
