@@ -90,10 +90,14 @@ class CocoAPEvaluator:
         gt_masks_or_boxes,               # list of (H,W) bool | (G,4) xywh
         gt_iscrowd: np.ndarray,          # (G,) bool
         gt_areas: Optional[np.ndarray] = None,
+        eval_cats: Optional[set] = None,         # LVIS federated: only these
+        ignore_unmatched_cats: Optional[set] = None,  # LVIS not_exhaustive
     ):
         det_cats = np.asarray(det_cats)
         gt_cats = np.asarray(gt_cats)
         cats = set(det_cats.tolist()) | set(gt_cats.tolist())
+        if eval_cats is not None:
+            cats &= eval_cats
         self._cats |= cats
         for c in cats:
             dsel = np.nonzero(det_cats == c)[0]
@@ -123,6 +127,8 @@ class CocoAPEvaluator:
                 "ious": ious,
                 "gt_crowd": gt_iscrowd[gsel].astype(bool),
                 "gt_areas": np.asarray(areas, np.float64),
+                "ignore_unmatched": bool(
+                    ignore_unmatched_cats and c in ignore_unmatched_cats),
             })
 
     # ------------------------------------------------------------------
@@ -159,13 +165,19 @@ class CocoAPEvaluator:
                 dt_m[ti, di] = m
                 gt_m[ti, m] = di
         # det ignore: matched to ignored gt, or unmatched + outside area range
+        # (or unmatched entirely, for LVIS not-exhaustively-annotated images)
         da = rec["det_areas"]
         out_rng = (da < lo) | (da > hi)
+        if rec.get("ignore_unmatched"):
+            out_rng = np.ones_like(out_rng)
         dt_ig = np.zeros((t, d), bool)
         for ti in range(t):
             matched = dt_m[ti] >= 0
-            dt_ig[ti] = np.where(matched, gig[np.clip(dt_m[ti], 0, None)],
-                                 out_rng)
+            if g == 0:
+                dt_ig[ti] = out_rng
+            else:
+                dt_ig[ti] = np.where(matched, gig[np.clip(dt_m[ti], 0, None)],
+                                     out_rng)
         return {
             "scores": rec["scores"],
             "dt_matched": dt_m >= 0,
@@ -210,6 +222,16 @@ class CocoAPEvaluator:
                         q[ri] = pr[pi]
                 precision[ti, :, ki] = q
         return precision
+
+    def per_category_ap(self) -> Dict[int, float]:
+        """AP per category over the 'all' area range (nan = no GT)."""
+        p = self._accumulate("all")
+        out = {}
+        for ki, c in enumerate(sorted(self._cats)):
+            pc = p[:, :, ki]
+            valid = pc > -1
+            out[c] = float(pc[valid].mean() * 100) if valid.any() else float("nan")
+        return out
 
     def summarize(self) -> Dict[str, float]:
         res = {}
