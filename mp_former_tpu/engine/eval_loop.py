@@ -65,8 +65,8 @@ class EvalMapper:
         return {
             "image": canvas,
             "image_size": (rec.out_h, rec.out_w),  # pre-padding resized size
-            "height": record["height"],
-            "width": record["width"],
+            "height": record.get("height") or h,
+            "width": record.get("width") or w,
             "image_id": record["image_id"],
         }
 
@@ -115,6 +115,67 @@ def postprocess_panoptic(logits, masks, image_size, out_h, out_w,
     return panoptic_inference(
         jnp.asarray(logits), m, num_classes, object_mask_threshold,
         overlap_threshold, is_thing)
+
+
+def run_evaluation(cfg, model, params, dataset_name: str,
+                   max_images: Optional[int] = None,
+                   evaluator_set=None) -> Dict:
+    """Evaluate one dataset with its registered evaluator family (reference
+    Trainer.test + build_evaluator, train_net.py:142-222): ONE jitted forward
+    per image feeds every evaluator's post-processing."""
+    from ..data.catalog import DatasetCatalog, MetadataCatalog
+    from ..evaluation.build import build_evaluator, is_thing_array
+
+    records = DatasetCatalog.get(dataset_name)
+    evset = evaluator_set if evaluator_set is not None else \
+        build_evaluator(cfg, dataset_name, records)
+    meta = MetadataCatalog.get(dataset_name)
+    is_thing = is_thing_array(cfg, meta)
+    mapper = EvalMapper(cfg)
+    num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+    topk = cfg.TEST.DETECTIONS_PER_IMAGE
+    tasks = evset.tasks
+
+    @jax.jit
+    def fwd(p, im):
+        out = model.apply(p, im, None, train=False)
+        return out["pred_logits"], out["pred_masks"]
+
+    evset.reset()
+    n = 0
+    t0 = time.perf_counter()
+    for rec in records:
+        if max_images is not None and n >= max_images:
+            break
+        sample = mapper(rec)
+        if sample is None:
+            continue
+        logits, masks = fwd(params, jnp.asarray(sample["image"][None]))
+        logits0 = np.asarray(logits[0])
+        masks0 = np.asarray(masks[0])
+        outputs = {}
+        if "instance" in tasks:
+            outputs["instance"] = postprocess_instance(
+                logits0, masks0, sample["image_size"], sample["height"],
+                sample["width"], num_classes, topk)
+        if "semantic" in tasks:
+            outputs["semantic"] = postprocess_semantic(
+                logits0, masks0, sample["image_size"], sample["height"],
+                sample["width"])
+        if "panoptic" in tasks:
+            outputs["panoptic"] = postprocess_panoptic(
+                logits0, masks0, sample["image_size"], sample["height"],
+                sample["width"], num_classes,
+                cfg.MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD,
+                cfg.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD, is_thing)
+        evset.process(rec, outputs)
+        n += 1
+        if n % 50 == 0:
+            logger.info("eval %d images (%.2f s/img)", n,
+                        (time.perf_counter() - t0) / n)
+    results = evset.evaluate()
+    logger.info("evaluated %d images on %s: %s", n, dataset_name, results)
+    return results
 
 
 def inference_on_dataset(cfg, model, params, records: List[dict], evaluator,

@@ -120,7 +120,14 @@ class Trainer:
                 if self.profile_dir and step == start_iter + 8:
                     jax.profiler.stop_trace()
                 sharded = self._shard_batch(batch)
-                state, metrics = self.train_step(self.state, sharded, self.rng)
+                # NUM_DN >= 100: group count = budget // batch max GT
+                # (host-side; reference decoder :973-974)
+                from .train_step import compute_dn_groups
+
+                dn_groups = compute_dn_groups(
+                    self.model.scalar, batch.targets.valid)
+                state, metrics = self.train_step(
+                    self.state, sharded, self.rng, dn_groups=dn_groups)
                 self.state = state
                 t0 = time.perf_counter()
                 batch = next(it)  # overlap host data with device compute
@@ -150,20 +157,27 @@ class Trainer:
 
     def test(self, max_images=None):
         """Periodic eval during training (d2 Trainer.test / TEST.EVAL_PERIOD,
-        reference Base-COCO-InstanceSegmentation.yaml:41-42)."""
+        reference Base-COCO-InstanceSegmentation.yaml:41-42). Evaluator
+        family is dispatched per dataset evaluator_type (reference
+        Trainer.build_evaluator, train_net.py:142-222)."""
         from ..data.catalog import DatasetCatalog
-        from ..evaluation.evaluators import COCOEvaluator
-        from .eval_loop import inference_on_dataset
+        from .eval_loop import run_evaluation
 
         if not self.cfg.DATASETS.TEST:
             return None
-        name = self.cfg.DATASETS.TEST[0]
-        if name not in DatasetCatalog:
-            logger.warning("eval dataset %s not registered; skipping", name)
-            return None
-        records = DatasetCatalog.get(name)
-        results = inference_on_dataset(
-            self.cfg, self.model, {"params": self.state.params}, records,
-            COCOEvaluator(records), max_images)
+        results = {}
+        for name in self.cfg.DATASETS.TEST:
+            if name not in DatasetCatalog:
+                logger.warning("eval dataset %s not registered; skipping", name)
+                continue
+            try:
+                r = run_evaluation(
+                    self.cfg, self.model, {"params": self.state.params},
+                    name, max_images)
+            except NotImplementedError as e:
+                logger.warning("%s", e)
+                continue
+            results.update(r if len(self.cfg.DATASETS.TEST) == 1
+                           else {name: r})
         logger.info("eval results: %s", results)
-        return results
+        return results or None

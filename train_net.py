@@ -108,56 +108,33 @@ def main(args):
 
     if args.eval_only:
         import jax
+        import jax.numpy as jnp
 
-        from mp_former_tpu.data.catalog import DatasetCatalog
         from mp_former_tpu.data.datasets import builtin  # noqa: F401
         from mp_former_tpu.engine.checkpoint_import import load_reference_weights
-        from mp_former_tpu.engine.eval_loop import inference_on_dataset
-        from mp_former_tpu.evaluation.evaluators import COCOEvaluator
+        from mp_former_tpu.engine.eval_loop import run_evaluation
         from mp_former_tpu.models import build_model
-        import jax.numpy as jnp
-        import numpy as np
-
-        from mp_former_tpu.data.catalog import MetadataCatalog
-        from mp_former_tpu.evaluation.evaluators import (COCOPanopticEvaluator,
-                                                         SemSegEvaluator)
 
         model = build_model(cfg)
-        dataset_name = cfg.DATASETS.TEST[0]
-        records = DatasetCatalog.get(dataset_name)
-        meta = MetadataCatalog.get(dataset_name)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
         params = jax.jit(lambda k, im: model.init(
             {"params": k}, im, None, train=False))(jax.random.PRNGKey(0), dummy)
         if cfg.MODEL.WEIGHTS:
             params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS, params["params"])}
 
+        # evaluator family per dataset evaluator_type metadata (reference
+        # Trainer.build_evaluator dispatch, train_net.py:142-222); every
+        # DATASETS.TEST entry is evaluated (d2 DefaultTrainer.test semantics)
         results = {}
-        # task dispatch mirrors reference build_evaluator (train_net.py:142-222)
-        if cfg.MODEL.MASK_FORMER.TEST.INSTANCE_ON:
-            results["instance"] = inference_on_dataset(
-                cfg, model, params, records, COCOEvaluator(records),
-                args.max_eval_images, task="instance")
-        if cfg.MODEL.MASK_FORMER.TEST.SEMANTIC_ON and meta.get("sem_seg_root"):
-            import cv2
-
-            def load_gt(rec):
-                g = cv2.imread(rec["sem_seg_file_name"], cv2.IMREAD_UNCHANGED)
-                return g[..., 0] if g.ndim == 3 else g
-
-            results["semantic"] = inference_on_dataset(
-                cfg, model, params, records,
-                SemSegEvaluator(cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
-                                cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE),
-                args.max_eval_images, task="semantic", sem_seg_loader=load_gt)
-        if cfg.MODEL.MASK_FORMER.TEST.PANOPTIC_ON and records and \
-                "pan_seg_file_name" in records[0]:
-            thing_map = meta.get("thing_map", {})
-            k = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
-            is_thing = np.array([thing_map.get(i, True) for i in range(k)])
-            results["panoptic"] = inference_on_dataset(
-                cfg, model, params, records, COCOPanopticEvaluator(thing_map),
-                args.max_eval_images, task="panoptic", is_thing=is_thing)
+        for dataset_name in cfg.DATASETS.TEST:
+            try:
+                r = run_evaluation(cfg, model, params, dataset_name,
+                                   args.max_eval_images)
+            except NotImplementedError as e:
+                logging.getLogger(__name__).warning("%s", e)
+                continue
+            results.update(r if len(cfg.DATASETS.TEST) == 1
+                           else {dataset_name: r})
         if not results:
             logging.getLogger(__name__).warning(
                 "no eval task ran: enable MODEL.MASK_FORMER.TEST.{INSTANCE,"
