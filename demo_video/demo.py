@@ -98,18 +98,24 @@ def main():
     tube_q = top // k
 
     up = resize(masks, (h, w), "bilinear")
-    up = np.asarray(up) > 0  # (Q, T, H, W)
-    rng = np.random.RandomState(3)
-    colors = rng.randint(64, 255, (10, 3))
-    for t, frame in enumerate(frames):
-        vis = frame.copy()
-        for i in range(10):
-            if tube_scores[i] < args.confidence_threshold:
-                continue
-            m = up[tube_q[i], t]
-            vis[m] = (0.5 * vis[m] + 0.5 * colors[i]).astype(np.uint8)
-        cv2.imwrite(os.path.join(args.output, f"frame_{t:04d}.jpg"), vis)
-    print(f"wrote {len(frames)} visualized frames -> {args.output}")
+    tubes = np.asarray(up)[tube_q] > 0  # (10, T, H, W), track-major
+
+    # per-track consistent colors + contours + labels
+    # (reference demo_video/visualizer.py TrackVisualizer :13)
+    from visualizer import TrackVisualizer
+
+    from mp_former_tpu.data.catalog import MetadataCatalog
+
+    thing_classes = None
+    if cfg.DATASETS.TEST:
+        thing_classes = MetadataCatalog.get(
+            cfg.DATASETS.TEST[0]).get("thing_classes")
+    vis = TrackVisualizer(thing_classes)
+    rendered = vis.draw_clip(frames, tubes, tube_classes, tube_scores,
+                             score_threshold=args.confidence_threshold)
+    for t, img in enumerate(rendered):
+        cv2.imwrite(os.path.join(args.output, f"frame_{t:04d}.jpg"), img)
+    print(f"wrote {len(rendered)} visualized frames -> {args.output}")
 
 
 if __name__ == "__main__":

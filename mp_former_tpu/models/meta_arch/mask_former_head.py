@@ -55,14 +55,21 @@ class MaskFormerHead(nn.Module):
         dn_args: Optional[DNArgs] = None,
         *,
         train: bool = False,
+        **predictor_kwargs,
     ):
+        """predictor_kwargs are forwarded to the transformer predictor (the
+        video decoder accepts frame_valid= for padded-clip inference)."""
         mask_features, tx_features, multi_scale = self.pixel_decoder(
             features, train=train)
         if self.transformer_in_feature == "multi_scale_pixel_decoder":
-            return self.predictor(multi_scale, mask_features, dn_args, train=train)
+            return self.predictor(multi_scale, mask_features, dn_args,
+                                  train=train, **predictor_kwargs)
         if self.transformer_in_feature == "transformer_encoder":
-            return self.predictor([tx_features], mask_features, dn_args, train=train)
+            return self.predictor([tx_features], mask_features, dn_args,
+                                  train=train, **predictor_kwargs)
         if self.transformer_in_feature == "pixel_embedding":
-            return self.predictor([mask_features], mask_features, dn_args, train=train)
+            return self.predictor([mask_features], mask_features, dn_args,
+                                  train=train, **predictor_kwargs)
         return self.predictor(
-            [features[self.transformer_in_feature]], mask_features, dn_args, train=train)
+            [features[self.transformer_in_feature]], mask_features, dn_args,
+            train=train, **predictor_kwargs)

@@ -37,21 +37,54 @@ def inference_video(logits: np.ndarray, masks, img_size, out_h, out_w,
     return tube_scores, tube_classes, np.asarray(m > 0)
 
 
+def t_bucket(t: int) -> int:
+    """Static clip-length bucket: exact up to 4, then multiples of 4.
+    Each bucket is one jit compilation; YTVIS clips reach ~36 frames."""
+    if t <= 4:
+        return max(t, 1)
+    return ((t + 3) // 4) * 4
+
+
+def make_clip_forward(cfg, t_pad: int):
+    """Jitted whole-clip forward at a static T bucket. The model is rebuilt
+    with SAMPLING_FRAME_NUM=t_pad (decoder layout depends on T; parameters
+    do not), and padding frames are excluded from every cross-attention via
+    frame_valid, so real-frame outputs equal the unpadded forward
+    (tests/test_video.py::test_padded_clip_matches_unpadded)."""
+    from ..models import build_model
+
+    c = cfg.clone()
+    c.defrost()
+    c.INPUT.SAMPLING_FRAME_NUM = t_pad
+    c.freeze()
+    m = build_model(c)
+
+    @jax.jit
+    def fwd(p, im, fv):
+        out = m.apply(p, im, None, train=False, frame_valid=fv)
+        return out["pred_logits"], out["pred_masks"]
+
+    return fwd
+
+
 def inference_on_video_dataset(cfg, model, params, records: List[dict],
                                max_videos: Optional[int] = None,
-                               max_frames: int = 8) -> Dict:
-    """Evaluate video AP over a YTVIS-style dataset. Clips longer than
-    `max_frames` are evaluated on their first `max_frames` frames (static
-    shapes; the reference feeds whole clips and OOM-retries)."""
+                               max_frames: Optional[int] = None) -> Dict:
+    """Evaluate video AP over a YTVIS-style dataset on WHOLE clips
+    (reference video_maskformer_model.py:255-287 feeds the entire clip in
+    one forward). Clip lengths are padded to static T buckets by repeating
+    the last frame; padding frames are masked out of cross-attention and
+    their predictions discarded. `max_frames` optionally caps very long
+    clips (None = no cap)."""
     evaluator = YTVISEvaluator(records)
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
-    fwd = jax.jit(lambda p, im: model.apply(p, im, None, train=False))
+    fwd_cache = {}
 
     n = 0
     for rec in records:
         if max_videos is not None and n >= max_videos:
             break
-        t = min(rec["length"], max_frames)
+        t = rec["length"] if max_frames is None else min(rec["length"], max_frames)
         h, w = rec["height"], rec["width"]
         scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
         nh = (int(h * scale + 0.5) + 31) // 32 * 32
@@ -65,10 +98,16 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
             frames.append(cv2.resize(img, (nw, nh)))
         if len(frames) < t:
             continue
+        t_pad = t_bucket(t)
+        if t_pad not in fwd_cache:
+            fwd_cache[t_pad] = make_clip_forward(cfg, t_pad)
+        frames += [frames[-1]] * (t_pad - t)
+        frame_valid = jnp.asarray(
+            np.arange(t_pad)[None, :] < t)  # (1, T_pad)
         clip = jnp.asarray(np.stack(frames)[None].astype(np.float32))
-        out = fwd(params, clip)
+        logits, masks = fwd_cache[t_pad](params, clip, frame_valid)
         scores, classes, tubes = inference_video(
-            np.asarray(out["pred_logits"][0]), out["pred_masks"][0],
+            np.asarray(logits[0]), masks[0, :, :t],
             (nh, nw), h, w, num_classes)
         evaluator.process(rec["video_id"], scores, classes,
                           [tubes[i] for i in range(tubes.shape[0])])

@@ -58,8 +58,16 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: List[jax.Array], mask_features: jax.Array,
-                 dn_args=None, *, train: bool = False):
-        """x: 3 levels of (B*T, H, W, C); mask_features (B*T, H/4, W/4, C)."""
+                 dn_args=None, *, train: bool = False, frame_valid=None):
+        """x: 3 levels of (B*T, H, W, C); mask_features (B*T, H/4, W/4, C).
+
+        frame_valid (B, T) bool: tokens of padding frames are blocked in
+        every cross-attention, making the padded forward EXACTLY equal to
+        the unpadded T'-frame forward at the real frames (softmax over a
+        masked superset == softmax over the subset; positional embeddings
+        here carry no temporal term). Only a fully-degenerate query row
+        (every real token blocked) deviates: the reference's all-True reset
+        (video decoder :  degenerate-row rule) reopens padding tokens too."""
         t = self.num_frames
         bt = x[0].shape[0]
         b = bt // t
@@ -105,6 +113,11 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
             om = jnp.einsum("bqc,bthwc->bqthw", memb, mask_feat.astype(memb.dtype))
             am = resize(om, size, "bilinear")  # (B, Q, T, h, w)
             am = jax.nn.sigmoid(am).reshape(b, 1, self.num_queries, -1) < 0.5
+            if frame_valid is not None:
+                pad_tok = jnp.broadcast_to(
+                    ~frame_valid[:, :, None], (b, t, size[0] * size[1])
+                ).reshape(b, 1, 1, t * size[0] * size[1])
+                am = jnp.logical_or(am, pad_tok)
             am = jnp.broadcast_to(am, (b, heads) + am.shape[2:])
             return cls, om, am
 

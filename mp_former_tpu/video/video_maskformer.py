@@ -52,11 +52,14 @@ class VideoMaskFormer(nn.Module):
 
     @nn.compact
     def __call__(self, images: jax.Array, targets: Optional[VideoTargets] = None,
-                 *, train: bool = False):
-        """images: (B, T, H, W, 3) raw RGB."""
+                 *, train: bool = False, frame_valid: Optional[jax.Array] = None):
+        """images: (B, T, H, W, 3) raw RGB. frame_valid (B, T) bool marks
+        padding frames of a bucketed clip (whole-clip inference, reference
+        video_maskformer_model.py:255-287 feeds clips unpadded)."""
         b, t, h, w, _ = images.shape
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = ((images - mean) / std).reshape(b * t, h, w, 3)
         features = self.backbone(x)
-        return self.sem_seg_head(features, None, train=train)
+        kw = {} if frame_valid is None else {"frame_valid": frame_valid}
+        return self.sem_seg_head(features, None, train=train, **kw)

@@ -92,3 +92,94 @@ def test_ytvis_evaluator_perfect():
     ev.process(1, np.array([0.9]), np.array([0]), [pred])
     res = ev.evaluate()
     assert abs(res["segm"]["AP"] - 100.0) < 1e-6
+
+
+def test_padded_clip_matches_unpadded():
+    """Whole-clip eval pads T to a static bucket and masks padding frames
+    out of cross-attention; real-frame outputs must EXACTLY match the
+    unpadded forward (video/eval_loop.py make_clip_forward)."""
+    cfg = _video_cfg()
+    t_real, t_pad = 3, 5
+    b, h, w = 1, 64, 64
+    rng = np.random.RandomState(1)
+    clip = rng.rand(b, t_real, h, w, 3).astype(np.float32) * 255
+
+    cfg3 = cfg.clone(); cfg3.defrost()
+    cfg3.INPUT.SAMPLING_FRAME_NUM = t_real; cfg3.freeze()
+    model3 = build_model(cfg3)
+    params = model3.init({"params": jax.random.PRNGKey(0)},
+                         jnp.asarray(clip), None, train=False)
+    out3 = model3.apply(params, jnp.asarray(clip), None, train=False)
+
+    cfg5 = cfg.clone(); cfg5.defrost()
+    cfg5.INPUT.SAMPLING_FRAME_NUM = t_pad; cfg5.freeze()
+    model5 = build_model(cfg5)
+    padded = np.concatenate([clip, np.repeat(clip[:, -1:], t_pad - t_real,
+                                             axis=1)], axis=1)
+    fv = jnp.asarray(np.arange(t_pad)[None, :] < t_real)
+    out5 = model5.apply(params, jnp.asarray(padded), None, train=False,
+                        frame_valid=fv)
+
+    np.testing.assert_allclose(np.asarray(out5["pred_logits"]),
+                               np.asarray(out3["pred_logits"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out5["pred_masks"][:, :, :t_real]),
+                               np.asarray(out3["pred_masks"]),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_whole_clip_eval_16_frames(tmp_path):
+    """16-frame synthetic clip: the whole-clip eval loop must produce the
+    same AP as a single-forward oracle at T=16 (VERDICT round-1 item #6;
+    reference feeds whole clips, video_maskformer_model.py:255-287)."""
+    import cv2
+
+    from mp_former_tpu.video.eval_loop import (inference_on_video_dataset,
+                                               inference_video, t_bucket)
+
+    assert t_bucket(16) == 16  # single forward, no padding
+    cfg = _video_cfg()
+    cfg.defrost(); cfg.INPUT.MIN_SIZE_TEST = 64; cfg.freeze()
+    t, h, w = 16, 64, 64
+    rng = np.random.RandomState(2)
+    frame_dir = tmp_path / "frames"
+    frame_dir.mkdir()
+    file_names = []
+    for fi in range(t):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        p = str(frame_dir / f"{fi:05d}.jpg")
+        cv2.imwrite(p, img)
+        file_names.append(p)
+    poly = [[8, 8, 40, 8, 40, 40, 8, 40]]
+    rec = {
+        "video_id": 1, "height": h, "width": w, "length": t,
+        "file_names": file_names,
+        "annotations": [{
+            "id": 1, "category_id": 0, "iscrowd": 0,
+            "segmentations": [poly] * t,
+            "areas": [1024] * t,
+        }],
+    }
+
+    cfg16 = cfg.clone(); cfg16.defrost()
+    cfg16.INPUT.SAMPLING_FRAME_NUM = 16; cfg16.freeze()
+    model16 = build_model(cfg16)
+    params = model16.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 16, 64, 64, 3), jnp.float32),
+                          None, train=False)
+
+    results = inference_on_video_dataset(cfg, model16, params, [rec])
+    # oracle: one direct forward at T=16 through the same params
+    frames = [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB)
+              for f in file_names]
+    clip = jnp.asarray(np.stack(frames)[None].astype(np.float32))
+    out = model16.apply(params, clip, None, train=False)
+    scores, classes, tubes = inference_video(
+        np.asarray(out["pred_logits"][0]), out["pred_masks"][0],
+        (64, 64), h, w, 5)
+    from mp_former_tpu.video.ytvis_eval import YTVISEvaluator
+
+    ev = YTVISEvaluator([rec])
+    ev.process(1, scores, classes, [tubes[i] for i in range(tubes.shape[0])])
+    oracle = ev.evaluate()
+    assert abs(results["segm"]["AP"] - oracle["segm"]["AP"]) < 1e-9

@@ -69,8 +69,9 @@ def main(args):
         if cfg.MODEL.WEIGHTS:
             params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS,
                                                        params["params"])}
+        # whole-clip inference (reference video_maskformer_model.py:255-287)
         results = inference_on_video_dataset(
-            cfg, model, params, records, args.max_eval_videos, max_frames=t)
+            cfg, model, params, records, args.max_eval_videos)
         print(results)
         return results
 
