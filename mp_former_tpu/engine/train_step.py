@@ -34,10 +34,27 @@ def create_train_state(params, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def make_train_step(model, criterion, tx, donate: bool = True):
-    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+def compute_dn_groups(scalar: int, valid) -> Optional[int]:
+    """Host-side DN group count for the NUM_DN >= 100 convention: the
+    reference treats scalar as a total-query budget and divides by the
+    BATCH max GT count (mask2former_transformer_decoder.py:973-974). Group
+    count is a static shape under jit, so it must be computed on host;
+    every distinct value compiles a new step (only NUM_DN >= 100 configs
+    pay this — the released recipe uses scalar=1)."""
+    if scalar < 100:
+        return None
+    import numpy as np
 
-    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+    m = int(np.asarray(valid).sum(-1).max())
+    return max(1, scalar // max(m, 1))
+
+
+def make_train_step(model, criterion, tx, donate: bool = True):
+    """Returns jitted train_step(state, batch, rng, dn_groups=None)
+    -> (state, metrics). dn_groups is static (see compute_dn_groups)."""
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array,
+                   dn_groups: Optional[int] = None):
         rng_dn, rng_drop, rng_loss = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
         # global valid-instance count (reference all_reduce, criterion.py:235-237)
@@ -47,7 +64,7 @@ def make_train_step(model, criterion, tx, donate: bool = True):
         def loss_fn(params):
             outputs = model.apply(
                 {"params": params}, batch.images, batch.targets, train=True,
-                rngs={"dn": rng_dn, "dropout": rng_drop})
+                dn_groups=dn_groups, rngs={"dn": rng_dn, "dropout": rng_drop})
             losses = criterion(outputs, batch.targets, rng_loss, num_masks=num_masks)
             total = criterion.weighted_total(losses)
             return total, losses
@@ -58,7 +75,8 @@ def make_train_step(model, criterion, tx, donate: bool = True):
         metrics = {"total_loss": total, **losses}
         return TrainState(state.step + 1, new_params, new_opt), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   static_argnames=("dn_groups",))
 
 
 def make_eval_step(model):

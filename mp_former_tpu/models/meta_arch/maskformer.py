@@ -77,7 +77,10 @@ class MaskFormer(nn.Module):
         targets: Optional[Targets] = None,
         *,
         train: bool = False,
+        dn_groups: Optional[int] = None,
     ) -> Dict:
+        """dn_groups: host-computed DN group count for NUM_DN >= 100 configs
+        (engine.train_step.compute_dn_groups; reference decoder :973-974)."""
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = (images - mean) / std
@@ -85,5 +88,5 @@ class MaskFormer(nn.Module):
         dn_args = None
         if train and targets is not None:
             dn_args = DNArgs(targets=targets, scalar=self.scalar,
-                             noise_scale=self.noise_scale)
+                             noise_scale=self.noise_scale, groups=dn_groups)
         return self.sem_seg_head(features, dn_args, train=train)

@@ -353,7 +353,13 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             N = targets.num_instances
             scalar = dn_args.scalar
             if scalar >= 100:
-                scalar = max(1, scalar // N)
+                # NUM_DN >= 100 is a total-query budget: the reference
+                # divides by the BATCH max GT count (:973-974). That value is
+                # host-side under jit; the trainer passes it via
+                # dn_args.groups (compute_dn_groups). Fallback: the static
+                # instance cap (upper-bounds the batch max).
+                scalar = dn_args.groups if dn_args.groups is not None \
+                    else max(1, scalar // N)
             pad_size = scalar * N
             noise_scale = dn_args.noise_scale
 

@@ -35,8 +35,15 @@ class Targets(NamedTuple):
 
 class DNArgs(NamedTuple):
     """Mask-piloted (DN) training inputs (reference maskformer_model.py:221,
-    dn_args={'tgt', 'scalar', 'noise_scale'}). scalar/noise_scale are static."""
+    dn_args={'tgt', 'scalar', 'noise_scale'}). scalar/noise_scale are static.
+
+    groups: pre-divided DN group count for the NUM_DN >= 100 convention
+    (reference mask2former_transformer_decoder.py:973-974 divides the query
+    budget by the BATCH max GT count — a host-side value under jit; see
+    engine.train_step.compute_dn_groups). None = decoder falls back to
+    dividing by its static instance cap."""
 
     targets: Targets
     scalar: int
     noise_scale: float
+    groups: Optional[int] = None

@@ -1,0 +1,85 @@
+"""NUM_DN >= 100 group semantics: scalar is a total-query budget divided by
+the BATCH max GT count (reference mask2former_transformer_decoder.py:973-974;
+VERDICT round-1 item #10)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mp_former_tpu.engine.train_step import compute_dn_groups
+from mp_former_tpu.structures import Targets
+
+
+def test_compute_dn_groups_matches_reference_rule():
+    # batch max valid GT = 7 -> groups = 100 // 7 = 14
+    valid = np.zeros((2, 20), bool)
+    valid[0, :7] = True
+    valid[1, :3] = True
+    assert compute_dn_groups(100, valid) == 14
+    assert compute_dn_groups(150, valid) == 21
+    # below the budget convention: passthrough (None -> decoder uses scalar)
+    assert compute_dn_groups(5, valid) is None
+    # empty batch: guard against division by zero
+    assert compute_dn_groups(100, np.zeros((2, 20), bool)) == 100
+
+
+def test_decoder_uses_host_groups():
+    """With dn_groups passed, the decoder's DN block is groups * N slots."""
+    from mp_former_tpu.config import (add_deeplab_config,
+                                      add_maskformer2_config, get_cfg)
+    from mp_former_tpu.models import build_model
+
+    cfg = get_cfg()
+    add_deeplab_config(cfg)
+    add_maskformer2_config(cfg)
+    cfg.merge_from_list([
+        "MODEL.RESNETS.OUT_FEATURES", "['res2','res3','res4','res5']",
+        "MODEL.RESNETS.STRIDE_IN_1X1", "False",
+        "MODEL.SEM_SEG_HEAD.NAME", "MaskFormerHead",
+        "MODEL.SEM_SEG_HEAD.IN_FEATURES", "['res2','res3','res4','res5']",
+        "MODEL.SEM_SEG_HEAD.PIXEL_DECODER_NAME", "MSDeformAttnPixelDecoder",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.SEM_SEG_HEAD.NUM_CLASSES", "5",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.MASK_FORMER.TRANSFORMER_IN_FEATURE", "multi_scale_pixel_decoder",
+        "MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME",
+        "MultiScaleMaskedTransformerDecoderMaskDN",
+        "MODEL.MASK_FORMER.DN_MODE", "points",
+        "MODEL.DN.NUM_DN", "100",           # budget convention
+        "MODEL.DN.NOISE_SCALE", "0.0",
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "3",
+        "MODEL.MASK_FORMER.DROPOUT", "0.0",
+        "TPU.DN_MAX_GT", "4",
+    ])
+    model = build_model(cfg)
+    b, h, w, n = 1, 64, 64, 6
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    masks = np.zeros((b, n, h, w), bool)
+    masks[:, :2, 8:40, 8:40] = True
+    valid = np.zeros((b, n), bool)
+    valid[:, :2] = True  # batch max GT = 2 -> groups = 50
+    targets = Targets(
+        labels=jnp.asarray(rng.randint(0, 5, (b, n)), jnp.int32),
+        masks=jnp.asarray(masks),
+        boxes=jnp.asarray(rng.rand(b, n, 4), jnp.float32),
+        valid=jnp.asarray(valid))
+
+    groups = compute_dn_groups(100, valid)
+    assert groups == 50
+    rngs = {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    out = model.init_with_output(
+        rngs, images, targets, train=True, dn_groups=groups)[0]
+    # DN block = groups * min(N, DN_MAX_GT) = 50 * 4
+    assert out["dn_out"]["dn_args"]["scalar"] == 50
+    assert out["dn_out"]["dn_args"]["pad_size"] == 50 * 4
+    # fallback without host groups: divides by the static cap (4) -> 25
+    out2 = model.init_with_output(rngs, images, targets, train=True)[0]
+    assert out2["dn_out"]["dn_args"]["scalar"] == 25
