@@ -247,6 +247,10 @@ def add_maskformer2_config(cfg: CN) -> None:
     # bs8/512px on a 16GB chip; turn off for small batches to skip the
     # recompute.
     cfg.TPU.REMAT_ENCODER = True
+    # remat policy: 'full' recomputes everything; 'dots' saves matmul outputs
+    # (jax dots_saveable) so the backward recompute redoes only the gathers
+    # and elementwise ops (more memory, less recompute)
+    cfg.TPU.REMAT_POLICY = "full"
     # deformable-attention sampling engine. 'packed2x2' = reference-exact
     # per-head sampling locations (one 4D-wide gather row per point).
     # 'headshare' = one location set shared across heads (one 4*M*D-wide row

@@ -84,6 +84,7 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
     num_feature_levels: int = 3
     enc_n_points: int = 4
     remat: bool = True
+    remat_policy: str = "full"  # TPU.REMAT_POLICY: 'full' | 'dots'
     sampling_engine: str = "packed2x2"
     pallas_weighting: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -112,8 +113,10 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
         # rematerialize each encoder layer under autodiff: the deformable
         # gather/taps intermediates otherwise dominate activation memory
         # (OOM at bs8/512px on a 16GB chip)
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if self.remat_policy == "dots" else None)
         layer_cls = (nn.remat(MSDeformAttnTransformerEncoderLayer,
-                              static_argnums=())
+                              static_argnums=(), policy=policy)
                      if self.remat else MSDeformAttnTransformerEncoderLayer)
         out = src_flat
         for i in range(self.num_encoder_layers):
@@ -145,6 +148,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     common_stride: int = 4
     maskformer_num_feature_levels: int = 3
     remat: bool = True  # TPU.REMAT_ENCODER
+    remat_policy: str = "full"  # TPU.REMAT_POLICY
     sampling_engine: str = "packed2x2"  # TPU.SAMPLING_ENGINE
     pallas_weighting: bool = False      # TPU.PALLAS_TAP_WEIGHTING
     dtype: jnp.dtype = jnp.float32
@@ -165,6 +169,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 cfg.MODEL.SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES),
             common_stride=cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE,
             remat=cfg.TPU.REMAT_ENCODER,
+            remat_policy=cfg.TPU.REMAT_POLICY,
             sampling_engine=cfg.TPU.SAMPLING_ENGINE,
             pallas_weighting=cfg.TPU.PALLAS_TAP_WEIGHTING,
             dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
@@ -203,6 +208,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             num_encoder_layers=self.transformer_enc_layers,
             num_feature_levels=len(tx_features),
             remat=self.remat,
+            remat_policy=self.remat_policy,
             sampling_engine=self.sampling_engine,
             pallas_weighting=self.pallas_weighting,
             dtype=self.dtype, name="transformer",

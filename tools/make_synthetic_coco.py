@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Generate a learnable synthetic COCO-format instance dataset.
+
+No real COCO is reachable from this environment, so training-evidence runs
+(PERFORMANCE.md loss curves) use this: colored shapes (class = color/shape
+combination) on textured backgrounds, with exact polygon segmentations in
+the standard COCO layout that the LSJ mapper consumes unchanged.
+
+Usage: python tools/make_synthetic_coco.py --root /tmp/synth_coco
+       [--images 200] [--size 640] [--classes 20]
+"""
+
+import argparse
+import json
+import os
+
+import cv2
+import numpy as np
+
+
+def class_color(c: int, num_classes: int) -> np.ndarray:
+    """Distinct saturated BGR color per class (hue-coded so the class is
+    learnable from appearance)."""
+    hue = int(179 * c / max(num_classes, 1))
+    hsv = np.uint8([[[hue, 230, 220]]])
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0, 0].astype(np.int32)
+
+
+def ellipse_polygon(cx, cy, ax, ay, angle, k=16):
+    ts = np.linspace(0, 2 * np.pi, k, endpoint=False)
+    ca, sa = np.cos(angle), np.sin(angle)
+    xs = cx + ax * np.cos(ts) * ca - ay * np.sin(ts) * sa
+    ys = cy + ax * np.cos(ts) * sa + ay * np.sin(ts) * ca
+    return np.stack([xs, ys], -1)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True)
+    p.add_argument("--images", type=int, default=200)
+    p.add_argument("--size", type=int, default=640)
+    p.add_argument("--classes", type=int, default=20)
+    p.add_argument("--split", default="train2017")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    img_dir = os.path.join(args.root, "coco", args.split)
+    ann_dir = os.path.join(args.root, "coco", "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    rng = np.random.RandomState(args.seed)
+    s = args.size
+    images, annotations = [], []
+    aid = 1
+    for i in range(args.images):
+        # textured background: low-frequency noise
+        noise = rng.rand(s // 16, s // 16, 3)
+        bg = cv2.resize((noise * 80 + 40).astype(np.uint8), (s, s),
+                        interpolation=cv2.INTER_CUBIC)
+        img = bg.copy()
+        n_obj = rng.randint(3, 9)
+        for _ in range(n_obj):
+            c = int(rng.randint(args.classes))
+            color = class_color(c, args.classes)
+            jitter = rng.randint(-25, 26, 3)
+            col = tuple(int(v) for v in np.clip(color + jitter, 0, 255))
+            cx, cy = rng.randint(s // 8, 7 * s // 8, 2)
+            ax_, ay_ = rng.randint(s // 20, s // 5, 2)
+            ang = rng.rand() * np.pi
+            if c % 2 == 0:  # even classes: ellipses
+                pts = ellipse_polygon(cx, cy, ax_, ay_, ang)
+            else:           # odd classes: rotated rectangles
+                box = cv2.boxPoints(((float(cx), float(cy)),
+                                     (float(ax_ * 2), float(ay_ * 2)),
+                                     float(np.degrees(ang))))
+                pts = np.asarray(box, np.float64)
+            pts[:, 0] = np.clip(pts[:, 0], 0, s - 1)
+            pts[:, 1] = np.clip(pts[:, 1], 0, s - 1)
+            cv2.fillPoly(img, [pts.astype(np.int32)], col)
+            x0, y0 = pts.min(0)
+            x1, y1 = pts.max(0)
+            if (x1 - x0) < 4 or (y1 - y0) < 4:
+                continue
+            mask = np.zeros((s, s), np.uint8)
+            cv2.fillPoly(mask, [pts.astype(np.int32)], 1)
+            annotations.append({
+                "id": aid, "image_id": i + 1, "category_id": c + 1,
+                "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                "area": float(mask.sum()), "iscrowd": 0,
+                "segmentation": [pts.reshape(-1).tolist()],
+            })
+            aid += 1
+        fn = f"{i + 1:012d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, fn), img)
+        images.append({"id": i + 1, "file_name": fn, "height": s, "width": s})
+
+    data = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [
+            {"id": c + 1, "name": f"shape-{c}"} for c in range(args.classes)
+        ],
+    }
+    out = os.path.join(ann_dir, f"instances_{args.split}.json")
+    with open(out, "w") as f:
+        json.dump(data, f)
+    print(f"{len(images)} images, {len(annotations)} annotations -> {out}")
+
+
+if __name__ == "__main__":
+    main()
