@@ -262,6 +262,11 @@ def add_maskformer2_config(cfg: CN) -> None:
     # (XLA relayouts the taps tensor otherwise; no-op for packed2x2 and on
     # non-TPU backends)
     cfg.TPU.PALLAS_TAP_WEIGHTING = False
+    # eval canvas bucketing: 0 pads every image to the full
+    # (MIN_SIZE_TEST, MAX_SIZE_TEST) rectangle (2 compiles); a /32 multiple N
+    # rounds each side up to N instead (more compiles — persistent-cached —
+    # but no wasted pixels on near-square images of a gather-bound model)
+    cfg.TPU.EVAL_BUCKET_STEP = 128
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:

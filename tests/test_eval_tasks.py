@@ -123,3 +123,13 @@ def test_verify_results():
     cfg.TEST.EXPECTED_RESULTS = [["instance", "AP", 45.0, 0.2]]
     with pytest.raises(AssertionError, match="expected 45.0"):
         verify_results(cfg, res)
+
+
+def test_eval_canvas_bucketing():
+    """TPU.EVAL_BUCKET_STEP quantizes the padded canvas to the resized image
+    instead of the full (MIN,MAX) rectangle (VERDICT round-1 weak #6)."""
+    from mp_former_tpu.engine.eval_loop import _quantized_canvas
+
+    assert _quantized_canvas(800, 1063, 128) == (896, 1152)
+    assert _quantized_canvas(768, 768, 128) == (768, 768)
+    assert _quantized_canvas(1, 1, 32) == (32, 32)
