@@ -267,6 +267,12 @@ def add_maskformer2_config(cfg: CN) -> None:
     # rounds each side up to N instead (more compiles — persistent-cached —
     # but no wasted pixels on near-square images of a gather-bound model)
     cfg.TPU.EVAL_BUCKET_STEP = 128
+    # GT mask rasterization stride for the LSJ mapper. 0 = auto (4 when the
+    # grid-mode loss is active — it resizes GT to the 1/4 prediction grid
+    # anyway, so this is lossless there — else 1). Cuts host rasterization
+    # and mask transfer 16x at stride 4 (the remote-TPU transfer of full-res
+    # GT masks otherwise dominates data time at 1024px).
+    cfg.TPU.GT_MASK_STRIDE = 0
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:

@@ -21,15 +21,21 @@ from ..transforms import (
     TransformRecord, apply_record_to_image, lsj_transform, polygons_to_bitmask)
 
 
-def _mask_from_segmentation(seg, rec: TransformRecord) -> Optional[np.ndarray]:
-    """Transform + rasterize one annotation's segmentation at the output canvas."""
-    h, w = rec.out_h, rec.out_w
+def _mask_from_segmentation(seg, rec: TransformRecord,
+                            stride: int = 1) -> Optional[np.ndarray]:
+    """Transform + rasterize one annotation's segmentation at the output
+    canvas. stride > 1 rasterizes at 1/stride of the canvas — the criterion's
+    grid-mode losses and the DN attention masks only ever consume GT at
+    <= 1/4 canvas resolution, so stride 4 is lossless for the default loss
+    path while cutting host rasterization + device transfer 16x."""
+    h = (rec.out_h + stride - 1) // stride
+    w = (rec.out_w + stride - 1) // stride
     if isinstance(seg, list):  # polygons
         polys = []
         for p in seg:
             pts = np.asarray(p, np.float64).reshape(-1, 2)
             pts = rec.apply_coords(pts)
-            polys.append(pts.reshape(-1))
+            polys.append((pts / stride).reshape(-1))
         return polygons_to_bitmask(polys, h, w)
     if isinstance(seg, dict):  # RLE — uncompressed counts only (no pycocotools)
         if isinstance(seg.get("counts"), list):
@@ -41,7 +47,11 @@ def _mask_from_segmentation(seg, rec: TransformRecord) -> Optional[np.ndarray]:
                 pos += c
                 val = 1 - val
             mask = flat.reshape(mw, mh).T  # COCO RLE is column-major
-            return _transform_bitmask(mask.astype(bool), rec)
+            m = _transform_bitmask(mask.astype(bool), rec)
+            if stride > 1:
+                m = cv2.resize(m.astype(np.uint8), (w, h),
+                               interpolation=cv2.INTER_NEAREST).astype(bool)
+            return m
     return None
 
 
@@ -79,6 +89,12 @@ class COCOInstanceNewBaselineDatasetMapper:
         self.flip = cfg.INPUT.RANDOM_FLIP != "none"
         self.max_instances = max_instances
         self.img_format = cfg.INPUT.FORMAT
+        # 0 = auto: 1/4-res GT masks when the grid-mode loss (which resizes
+        # GT to the 1/4 prediction grid anyway) is active, full-res otherwise
+        stride = cfg.TPU.GT_MASK_STRIDE
+        if stride == 0:
+            stride = 4 if cfg.TPU.POINT_SAMPLE_MODE == "grid" else 1
+        self.gt_mask_stride = stride
 
     def __call__(self, record: Dict, rng: np.random.RandomState) -> Optional[Dict]:
         img = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
@@ -92,8 +108,10 @@ class COCOInstanceNewBaselineDatasetMapper:
         image = apply_record_to_image(img, rec, pad_value=128.0)
 
         n_cap = self.max_instances
+        s = self.gt_mask_stride
+        ms = (self.image_size + s - 1) // s
         labels = np.zeros((n_cap,), np.int32)
-        masks = np.zeros((n_cap, self.image_size, self.image_size), bool)
+        masks = np.zeros((n_cap, ms, ms), bool)
         boxes = np.zeros((n_cap, 4), np.float32)
         valid = np.zeros((n_cap,), bool)
         if self.is_train:
@@ -103,7 +121,7 @@ class COCOInstanceNewBaselineDatasetMapper:
                     continue
                 if idx >= n_cap:
                     break
-                m = _mask_from_segmentation(a.get("segmentation"), rec)
+                m = _mask_from_segmentation(a.get("segmentation"), rec, s)
                 if m is None or not m.any():
                     continue
                 masks[idx] = m
@@ -111,9 +129,9 @@ class COCOInstanceNewBaselineDatasetMapper:
                 valid[idx] = True
                 idx += 1
             b = _masks_to_boxes_np(masks[:idx])
-            # cxcywh normalized (reference maskformer_model.py:295)
-            size = np.array([self.image_size, self.image_size,
-                             self.image_size, self.image_size], np.float32)
+            # cxcywh normalized (reference maskformer_model.py:295) — the
+            # normalization cancels the mask stride
+            size = np.array([ms, ms, ms, ms], np.float32)
             cx = (b[:, 0] + b[:, 2]) / 2
             cy = (b[:, 1] + b[:, 3]) / 2
             bw = b[:, 2] - b[:, 0]
