@@ -75,6 +75,12 @@ class _BaseSemanticMapper:
         self.size_div = max(cfg.INPUT.SIZE_DIVISIBILITY, 32)
         self.fmt = cfg.INPUT.FORMAT
         self.max_instances = max_instances
+        # GT mask stride (see coco_instance_new_baseline: lossless for the
+        # grid-mode loss, which resizes GT to the 1/4 prediction grid)
+        stride = cfg.TPU.GT_MASK_STRIDE
+        if stride == 0:
+            stride = 4 if cfg.TPU.POINT_SAMPLE_MODE == "grid" else 1
+        self.gt_mask_stride = stride
 
     def _geometry(self, rng, h, w, sem=None):
         rec = resize_shortest_edge(rng, h, w, self.min_sizes, self.max_size,
@@ -130,13 +136,15 @@ class MaskFormerSemanticDatasetMapper(_BaseSemanticMapper):
         sem_canvas[: sem_t.shape[0], : sem_t.shape[1]] = sem_t
 
         n_cap = self.max_instances
+        st = self.gt_mask_stride
+        sem_small = sem_canvas[::st, ::st]
         labels = np.zeros((n_cap,), np.int32)
-        masks = np.zeros((n_cap, ph, pw), bool)
+        masks = np.zeros((n_cap,) + sem_small.shape, bool)
         valid = np.zeros((n_cap,), bool)
-        classes = np.unique(sem_canvas)
+        classes = np.unique(sem_small)
         classes = classes[classes != self.ignore]
         for i, c in enumerate(classes[:n_cap]):
-            masks[i] = sem_canvas == c
+            masks[i] = sem_small == c
             labels[i] = c
             valid[i] = True
         return {
@@ -175,14 +183,16 @@ class MaskFormerPanopticDatasetMapper(_BaseSemanticMapper):
         pan_canvas[: pan_t.shape[0], : pan_t.shape[1]] = pan_t
 
         n_cap = self.max_instances
+        st = self.gt_mask_stride
+        pan_small = pan_canvas[::st, ::st]
         labels = np.zeros((n_cap,), np.int32)
-        masks = np.zeros((n_cap, ph, pw), bool)
+        masks = np.zeros((n_cap,) + pan_small.shape, bool)
         valid = np.zeros((n_cap,), bool)
         i = 0
         for seg in record.get("segments_info", []):
             if seg.get("iscrowd", 0) or i >= n_cap:
                 continue
-            m = pan_canvas == seg["id"]
+            m = pan_small == seg["id"]
             if not m.any():
                 continue
             masks[i] = m
@@ -218,14 +228,16 @@ class MaskFormerInstanceDatasetMapper(_BaseSemanticMapper):
         canvas[: image.shape[0], : image.shape[1]] = image
 
         n_cap = self.max_instances
+        st = self.gt_mask_stride
+        mh, mw = (ph + st - 1) // st, (pw + st - 1) // st
         labels = np.zeros((n_cap,), np.int32)
-        masks = np.zeros((n_cap, ph, pw), bool)
+        masks = np.zeros((n_cap, mh, mw), bool)
         valid = np.zeros((n_cap,), bool)
         i = 0
         for a in record.get("annotations", []):
             if a.get("iscrowd", 0) or i >= n_cap:
                 continue
-            m = _mask_from_segmentation(a.get("segmentation"), rec)
+            m = _mask_from_segmentation(a.get("segmentation"), rec, st)
             if m is None or not m.any():
                 continue
             masks[i, : m.shape[0], : m.shape[1]] = m
@@ -252,6 +264,10 @@ class COCOPanopticNewBaselineDatasetMapper:
         self.flip = cfg.INPUT.RANDOM_FLIP != "none"
         self.fmt = cfg.INPUT.FORMAT
         self.max_instances = max_instances
+        stride = cfg.TPU.GT_MASK_STRIDE
+        if stride == 0:
+            stride = 4 if cfg.TPU.POINT_SAMPLE_MODE == "grid" else 1
+        self.gt_mask_stride = stride
 
     def __call__(self, record: Dict, rng: np.random.RandomState) -> Optional[Dict]:
         img = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
@@ -270,14 +286,17 @@ class COCOPanopticNewBaselineDatasetMapper:
         pan_t = _apply_to_sem_seg(rgb2id(pan).astype(np.int64), rec, 0)
 
         n_cap = self.max_instances
+        st = self.gt_mask_stride
+        pan_small = pan_t[::st, ::st]
+        ms = (self.image_size + st - 1) // st
         labels = np.zeros((n_cap,), np.int32)
-        masks = np.zeros((n_cap, self.image_size, self.image_size), bool)
+        masks = np.zeros((n_cap, ms, ms), bool)
         valid = np.zeros((n_cap,), bool)
         i = 0
         for seg in record.get("segments_info", []):
             if seg.get("iscrowd", 0) or i >= n_cap:
                 continue
-            m = pan_t == seg["id"]
+            m = pan_small == seg["id"]
             if not m.any():
                 continue
             masks[i] = m

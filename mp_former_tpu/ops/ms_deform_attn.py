@@ -146,13 +146,13 @@ def ms_deform_attn_headshare(
     offsets = np.cumsum([0] + sizes)
     out = jnp.zeros((B, Q, M, D), dtype=value.dtype)
     compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
-    # pallas path: the per-level 2x2 patch tables share one row width
-    # (4*M*D), so they concatenate into ONE table and the whole layer
-    # becomes ONE gather (L*P*Q point-major rows) + ONE weighting kernel
-    # call whose grid-step accumulator absorbs the level sum — 18 gather
-    # fusions + 18 kernel launches per model drop to 6 + 6
-    tables, fused_idx, fused_w = [], [], []
-    row_offset = 0
+    # pallas path: per-level taps/weights are concatenated point-major and
+    # reduced by ONE kernel call per layer — the grid-step accumulator
+    # absorbs the level sum. (Concatenating the patch TABLES into a single
+    # gather as well was measured SLOWER: 16.3 vs 18.5 img/s at 1024px —
+    # the 44 MB table concat is a real copy, while gather outputs feeding a
+    # concat fuse into slice-writes.)
+    fused_taps, fused_w = [], []
 
     for lid, (H, W) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, int(offsets[lid]), sizes[lid], axis=1)
@@ -185,13 +185,13 @@ def ms_deform_attn_headshare(
         full = tw[..., None] * jnp.swapaxes(w, 2, 3).astype(compute_dtype)[..., None, :]
 
         if pallas_weighting:
-            # point-major rows; indices offset into the combined table
-            idx_pm = jnp.swapaxes(idx, 1, 2).reshape(B, P * Q, 1) + row_offset
+            # point-major rows; the fused VPU kernel streams the taps once
+            idx_pm = jnp.swapaxes(idx, 1, 2).reshape(B, P * Q, 1)
+            taps = jnp.take_along_axis(
+                patch, idx_pm, axis=1, mode="promise_in_bounds")  # (B, P*Q, 4MD)
             w_pm = jnp.swapaxes(full, 1, 2).reshape(B, P * Q, 4 * M)
-            tables.append(patch)
-            fused_idx.append(idx_pm)
-            fused_w.append(w_pm.astype(patch.dtype))
-            row_offset += (H + 1) * (W + 1)
+            fused_taps.append(taps)
+            fused_w.append(w_pm.astype(taps.dtype))
         else:
             taps = jnp.take_along_axis(
                 patch, idx.reshape(B, Q * P, 1), axis=1,
@@ -206,13 +206,10 @@ def ms_deform_attn_headshare(
             sampled = wtaps.sum(axis=2).reshape(B, Q, P, M, D).sum(axis=2)
             out = out + sampled.astype(value.dtype)
 
-    if tables:
+    if fused_taps:
         from .tap_weighting import weight_taps
 
-        table_all = jnp.concatenate(tables, axis=1)      # (B, R_total, 4MD)
-        idx_all = jnp.concatenate(fused_idx, axis=1)     # (B, L*P*Q, 1)
-        taps_all = jnp.take_along_axis(
-            table_all, idx_all, axis=1, mode="promise_in_bounds")
+        taps_all = jnp.concatenate(fused_taps, axis=1)   # (B, L*P*Q, 4MD)
         w_all = jnp.concatenate(fused_w, axis=1)         # (B, L*P*Q, 4M)
         sampled = weight_taps(taps_all, w_all, L * P, M, D)
         out = out + sampled.reshape(B, Q, M, D).astype(value.dtype)

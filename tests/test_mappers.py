@@ -75,10 +75,11 @@ def test_semantic_mapper_static_shapes(tmp_path):
                np.random.RandomState(2))
     assert s["image"].shape == (64, 64, 3)
     assert s["sem_seg"].shape == (64, 64)
-    assert s["masks"].shape == (8, 64, 64)
-    # class masks partition the labeled area
-    labeled = s["sem_seg"] != 255
-    union = np.zeros((64, 64), bool)
+    # grid-mode default rasterizes GT masks at 1/4 canvas (TPU.GT_MASK_STRIDE)
+    assert s["masks"].shape == (8, 16, 16)
+    # class masks partition the labeled area (at the strided grid)
+    labeled = s["sem_seg"][::4, ::4] != 255
+    union = np.zeros((16, 16), bool)
     for i in range(8):
         if s["valid"][i]:
             union |= s["masks"][i]
