@@ -225,15 +225,29 @@ class CityscapesSemSegEvaluator:
                 gt_label_map: Optional[np.ndarray] = None,
                 gt_instance_map: Optional[np.ndarray] = None):
         """pred_trainid: (H, W) in [0, 19). GT label/instance maps load from
-        record['label_id_file'] / record['instance_id_file'] when not given."""
+        record['label_id_file'] / record['instance_id_file'] when not given;
+        the sem-seg registration carries only the *_labelTrainIds.png path,
+        from which the sibling gtFine files are derived."""
         import cv2
 
+        lab_path = record.get("label_id_file")
+        inst_path = record.get("instance_id_file")
+        sem_path = record.get("sem_seg_file_name", "")
+        if not lab_path and "_gtFine_labelTrainIds.png" in sem_path:
+            lab_path = sem_path.replace("_gtFine_labelTrainIds.png",
+                                        "_gtFine_labelIds.png")
+        if not inst_path and "_gtFine_labelTrainIds.png" in sem_path:
+            p = sem_path.replace("_gtFine_labelTrainIds.png",
+                                 "_gtFine_instanceIds.png")
+            import os
+
+            inst_path = p if os.path.isfile(p) else None
         if gt_label_map is None:
-            gt_label_map = cv2.imread(
-                record["label_id_file"], cv2.IMREAD_UNCHANGED)
-        if gt_instance_map is None and record.get("instance_id_file"):
-            gt_instance_map = cv2.imread(
-                record["instance_id_file"], cv2.IMREAD_UNCHANGED)
+            gt_label_map = cv2.imread(lab_path, cv2.IMREAD_UNCHANGED)
+            if gt_label_map is None:
+                raise FileNotFoundError(lab_path)
+        if gt_instance_map is None and inst_path:
+            gt_instance_map = cv2.imread(inst_path, cv2.IMREAD_UNCHANGED)
 
         n = len(EVAL_LABELS)
         gt = self._lut()[np.clip(gt_label_map.astype(np.int64), 0, 255)]
