@@ -207,6 +207,35 @@ def resolve_checkpoint_path(path: str):
     return None
 
 
+def _load_orbax_params(path: str):
+    """Restore the 'params' tree from a Trainer Orbax checkpoint directory.
+    Returns None if the directory is not an Orbax checkpoint."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    candidates = [path]
+    # checkpoints root: pick the max numeric step subdir
+    steps = sorted((int(d) for d in os.listdir(path) if d.isdigit()),
+                   reverse=True)
+    candidates = [os.path.join(path, str(s)) for s in steps] + candidates
+    for c in candidates:
+        item = os.path.join(c, "default")
+        target = item if os.path.isdir(item) else c
+        if not os.path.isfile(os.path.join(target, "_METADATA")) and \
+                not os.path.isdir(os.path.join(target, "params")):
+            continue
+        try:
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(target))
+        except Exception:
+            continue
+        if isinstance(restored, dict) and "params" in restored:
+            return restored["params"]
+        return restored
+    return None
+
+
 def load_reference_weights(path: str, params_template,
                            strict: bool = False) -> Any:
     """Load + convert a reference checkpoint into the flax param template.
@@ -218,10 +247,20 @@ def load_reference_weights(path: str, params_template,
     into the full model. Pass strict=True to require an exact match.
     """
     import logging
+    import os
 
     import jax
 
     logger = logging.getLogger(__name__)
+    if os.path.isdir(path):
+        # one of OUR Orbax checkpoints (Trainer.save writes
+        # OUTPUT_DIR/checkpoints/<step>/): restore params directly, so the
+        # train -> eval loop closes without a torch round trip. Accepts the
+        # checkpoints root (latest step), a step dir, or its 'default' item.
+        restored = _load_orbax_params(path)
+        if restored is not None:
+            logger.info("restored params from Orbax checkpoint %s", path)
+            return restored
     local = resolve_checkpoint_path(path)
     if local is None:
         logger.warning(

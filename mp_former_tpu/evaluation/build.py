@@ -157,11 +157,11 @@ def build_evaluator(cfg, dataset_name: str,
         entries.append(_Entry(
             "panoptic", COCOPanopticEvaluator(thing_map), "panoptic_seg"))
 
-    # semantic segmentation (reference :156-163)
-    if et in ("sem_seg", "ade20k_panoptic_seg") and test_cfg.SEMANTIC_ON:
+    # semantic segmentation (reference :156-163 — NOT gated on SEMANTIC_ON)
+    if et in ("sem_seg", "ade20k_panoptic_seg"):
         sem()
-    # instance segmentation (:164-166)
-    if et == "coco" and test_cfg.INSTANCE_ON:
+    # instance segmentation (:164-166 — NOT gated on INSTANCE_ON)
+    if et == "coco":
         coco_inst()
     # panoptic segmentation (:167-177)
     if et in ("coco_panoptic_seg", "ade20k_panoptic_seg",

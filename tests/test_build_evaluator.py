@@ -58,6 +58,16 @@ def test_cityscapes_types():
          "CityscapesInstanceEvaluator"]
 
 
+def test_coco_and_sem_seg_ungated():
+    """Reference dispatches 'coco' and 'sem_seg' unconditionally
+    (train_net.py:156-166) — TEST switches only gate the panoptic extras."""
+    cfg = _cfg(INSTANCE_ON=False, SEMANTIC_ON=False, PANOPTIC_ON=False)
+    assert _types(build_evaluator(cfg, "coco_2017_val", records=[])) == \
+        ["COCOEvaluator"]
+    assert _types(build_evaluator(cfg, "ade20k_sem_seg_val", records=[])) == \
+        ["SemSegEvaluator"]
+
+
 def test_ade20k_panoptic_types():
     cfg = _cfg(SEMANTIC_ON=True, INSTANCE_ON=True, PANOPTIC_ON=True)
     # InstanceSegEvaluator is a COCOEvaluator alias (reference's only
@@ -84,6 +94,7 @@ def test_lvis_type(tmp_path):
 
 
 def test_no_evaluator_raises():
+    # a panoptic-only dataset with every TEST switch off has no evaluator
     cfg = _cfg(INSTANCE_ON=False, SEMANTIC_ON=False, PANOPTIC_ON=False)
     with pytest.raises(NotImplementedError):
-        build_evaluator(cfg, "coco_2017_val", records=[])
+        build_evaluator(cfg, "mapillary_vistas_panoptic_val", records=[])
