@@ -35,9 +35,10 @@ class TrainLoader:
 
     def __init__(self, records: List[dict], mapper: Callable, batch_size: int,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
-                 filter_empty: bool = True):
+                 filter_empty: bool = True, collate_fn: Callable = None):
         self.records = records
         self.mapper = mapper
+        self.collate = collate_fn or _collate
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.seed = seed
@@ -82,7 +83,7 @@ class TrainLoader:
                     batch.append(s)
                 pending = rest
                 if len(batch) == self.batch_size:
-                    self._q.put(_collate(batch))
+                    self._q.put(self.collate(batch))
 
     def __iter__(self):
         return self

@@ -21,7 +21,9 @@ logger = logging.getLogger(__name__)
 
 
 class Trainer:
-    def __init__(self, cfg, train_loader=None):
+    def __init__(self, cfg, train_loader=None, model=None, criterion=None):
+        """model/criterion default to the image stack; the video CLI passes
+        VideoMaskFormer + VideoSetCriterion (same Batch/TrainState shapes)."""
         import optax
 
         from ..models import build_model
@@ -31,8 +33,9 @@ class Trainer:
         from .train_step import Batch, create_train_state, make_train_step
 
         self.cfg = cfg
-        self.model = build_model(cfg)
-        self.criterion = build_criterion(cfg)
+        self.model = model if model is not None else build_model(cfg)
+        self.criterion = criterion if criterion is not None \
+            else build_criterion(cfg)
         self.mesh = create_mesh(cfg)
         self._shard_batch = lambda b: shard_batch(self.mesh, b)
         self._replicate = lambda t: replicate(self.mesh, t)
@@ -125,7 +128,7 @@ class Trainer:
                 from .train_step import compute_dn_groups
 
                 dn_groups = compute_dn_groups(
-                    self.model.scalar, batch.targets.valid)
+                    getattr(self.model, "scalar", 0), batch.targets.valid)
                 state, metrics = self.train_step(
                     self.state, sharded, self.rng, dn_groups=dn_groups)
                 self.state = state
@@ -161,6 +164,7 @@ class Trainer:
         family is dispatched per dataset evaluator_type (reference
         Trainer.build_evaluator, train_net.py:142-222)."""
         from ..data.catalog import DatasetCatalog
+        from ..video.video_maskformer import VideoMaskFormer
         from .eval_loop import run_evaluation
 
         if not self.cfg.DATASETS.TEST:
@@ -171,9 +175,16 @@ class Trainer:
                 logger.warning("eval dataset %s not registered; skipping", name)
                 continue
             try:
-                r = run_evaluation(
-                    self.cfg, self.model, {"params": self.state.params},
-                    name, max_images)
+                if isinstance(self.model, VideoMaskFormer):
+                    from ..video.eval_loop import inference_on_video_dataset
+
+                    r = inference_on_video_dataset(
+                        self.cfg, self.model, {"params": self.state.params},
+                        DatasetCatalog.get(name), max_images)
+                else:
+                    r = run_evaluation(
+                        self.cfg, self.model, {"params": self.state.params},
+                        name, max_images)
             except NotImplementedError as e:
                 logger.warning("%s", e)
                 continue

@@ -52,10 +52,13 @@ class VideoMaskFormer(nn.Module):
 
     @nn.compact
     def __call__(self, images: jax.Array, targets: Optional[VideoTargets] = None,
-                 *, train: bool = False, frame_valid: Optional[jax.Array] = None):
+                 *, train: bool = False, frame_valid: Optional[jax.Array] = None,
+                 dn_groups: Optional[int] = None):
         """images: (B, T, H, W, 3) raw RGB. frame_valid (B, T) bool marks
         padding frames of a bucketed clip (whole-clip inference, reference
-        video_maskformer_model.py:255-287 feeds clips unpadded)."""
+        video_maskformer_model.py:255-287 feeds clips unpadded). dn_groups is
+        accepted for train-step compatibility and ignored — the reference
+        video stack has no DN/MP path (video_maskformer_model.py:24-287)."""
         b, t, h, w, _ = images.shape
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)

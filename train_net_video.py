@@ -75,63 +75,35 @@ def main(args):
         print(results)
         return results
 
+    # full Trainer path (same engine as images: prefetch loader, GSPMD mesh,
+    # Orbax checkpoints/resume, metrics.json, periodic eval)
     from mp_former_tpu.data.loader import TrainLoader
-    from mp_former_tpu.engine.optimizer import build_optimizer
-    from mp_former_tpu.engine.train_step import create_train_state
-    from mp_former_tpu.video.criterion import build_video_criterion
+    from mp_former_tpu.engine.trainer import Trainer
+    from mp_former_tpu.engine.train_step import Batch
     from mp_former_tpu.video import VideoTargets
-    import optax
+    from mp_former_tpu.video.criterion import build_video_criterion
 
     records = DatasetCatalog.get(cfg.DATASETS.TRAIN[0])
-    mapper = YTVISDatasetMapper(cfg, is_train=True)
-    criterion = build_video_criterion(cfg)
+    mapper = YTVISDatasetMapper(cfg, is_train=True,
+                                max_instances=cfg.TPU.MAX_INSTANCES)
 
     def collate(samples):
-        return {
-            "images": jnp.asarray(np.stack([s["image"] for s in samples])),
-            "targets": VideoTargets(
+        return Batch(
+            images=jnp.asarray(np.stack([s["image"] for s in samples])),
+            targets=VideoTargets(
                 labels=jnp.asarray(np.stack([s["labels"] for s in samples])),
                 masks=jnp.asarray(np.stack([s["masks"] for s in samples])),
-                valid=jnp.asarray(np.stack([s["valid"] for s in samples]))),
-        }
+                valid=jnp.asarray(np.stack([s["valid"] for s in samples]))))
 
-    # simple loop (static shapes per aspect bucket handled by the mapper)
-    rng = np.random.RandomState(max(cfg.SEED, 0))
-    batch = [mapper(records[i % len(records)], rng)
-             for i in range(cfg.SOLVER.IMS_PER_BATCH)]
-    batch = collate([b for b in batch if b is not None])
-    t = cfg.INPUT.SAMPLING_FRAME_NUM
-    params = jax.jit(lambda k, im: model.init(
-        {"params": k, "dropout": jax.random.PRNGKey(1)}, im, None, train=True)
-    )(jax.random.PRNGKey(0), jnp.zeros((1, t, 64, 64, 3), jnp.float32))["params"]
-    tx = build_optimizer(cfg, params)
-    state = create_train_state(params, tx)
-
-    @jax.jit
-    def step(state, images, targets, key):
-        def loss_fn(p):
-            out = model.apply({"params": p}, images, targets, train=True,
-                              rngs={"dropout": key})
-            losses = criterion(out, targets, key)
-            return criterion.weighted_total(losses), losses
-
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt = tx.update(grads, state.opt_state, state.params)
-        return state._replace(
-            step=state.step + 1,
-            params=optax.apply_updates(state.params, updates),
-            opt_state=opt), total
-
-    for it in range(cfg.SOLVER.MAX_ITER):
-        state, total = step(state, batch["images"], batch["targets"],
-                            jax.random.PRNGKey(it))
-        if it % 20 == 0:
-            print(f"iter {it} total_loss {float(total):.4f}")
-        b = [mapper(records[rng.randint(len(records))], rng)
-             for _ in range(cfg.SOLVER.IMS_PER_BATCH)]
-        b = [x for x in b if x is not None]
-        if len(b) == cfg.SOLVER.IMS_PER_BATCH:
-            batch = collate(b)
+    loader = TrainLoader(
+        records, mapper, cfg.SOLVER.IMS_PER_BATCH, seed=max(cfg.SEED, 0),
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
+        filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
+        collate_fn=collate)
+    trainer = Trainer(cfg, loader, model=model,
+                      criterion=build_video_criterion(cfg))
+    start = trainer.resume_or_load(resume=args.resume)
+    trainer.train(start)
 
 
 if __name__ == "__main__":
