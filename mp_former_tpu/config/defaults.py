@@ -273,6 +273,13 @@ def add_maskformer2_config(cfg: CN) -> None:
     # and mask transfer 16x at stride 4 (the remote-TPU transfer of full-res
     # GT masks otherwise dominates data time at 1024px).
     cfg.TPU.GT_MASK_STRIDE = 0
+    # roll the deformable encoder's identical layers into one lax.scan
+    # (stacked params, one while-loop on device). Same math — the unrolled
+    # form pays per-HLO dispatch overhead on this remote backend (~0.1 ms/op
+    # of wall-vs-busy gap at 1024px, PERFORMANCE.md). Param layout differs
+    # from the unrolled form (encoder_scan/layer/* with a leading layer
+    # axis), so reference-checkpoint import keeps the unrolled default.
+    cfg.TPU.SCAN_ENCODER = False
 
 
 def add_maskformer2_video_config(cfg: CN) -> None:

@@ -73,6 +73,42 @@ class MSDeformAttnTransformerEncoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
 
+class _ScannedEncoderLayer(nn.Module):
+    """lax.scan body: one encoder layer returning (carry, None). Scanned
+    with stacked params (leading axis = layer) under TPU.SCAN_ENCODER."""
+
+    d_model: int
+    d_ffn: int
+    dropout: float
+    n_levels: int
+    n_heads: int
+    n_points: int
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    train_mode: bool
+    sampling_engine: str
+    pallas_weighting: bool
+    remat: bool
+    remat_policy: str
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points):
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if self.remat_policy == "dots" else None)
+        layer_cls = (nn.remat(MSDeformAttnTransformerEncoderLayer,
+                              policy=policy, prevent_cse=False)
+                     if self.remat else MSDeformAttnTransformerEncoderLayer)
+        out = layer_cls(
+            d_model=self.d_model, d_ffn=self.d_ffn, dropout=self.dropout,
+            n_levels=self.n_levels, n_heads=self.n_heads,
+            n_points=self.n_points, spatial_shapes=self.spatial_shapes,
+            train_mode=self.train_mode, sampling_engine=self.sampling_engine,
+            pallas_weighting=self.pallas_weighting,
+            dtype=self.dtype, name="layer",
+        )(src, pos, reference_points)
+        return out, None
+
+
 class MSDeformAttnTransformerEncoderOnly(nn.Module):
     """Reference MSDeformAttnTransformerEncoderOnly (:23-89)."""
 
@@ -87,6 +123,7 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
     remat_policy: str = "full"  # TPU.REMAT_POLICY: 'full' | 'dots'
     sampling_engine: str = "packed2x2"
     pallas_weighting: bool = False
+    scan_layers: bool = False  # TPU.SCAN_ENCODER
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,6 +146,29 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
         )
         ref = jnp.asarray(_reference_points(spatial_shapes))[None]  # (1, S, L, 2)
         ref = jnp.broadcast_to(ref, (src_flat.shape[0],) + ref.shape[1:])
+
+        if self.scan_layers:
+            # one lax.scan over stacked layer params: identical math to the
+            # unrolled loop (tests/test_pixel_decoder.py scan-parity), ~6x
+            # fewer HLOs dispatched per forward
+            scan_cls = nn.scan(
+                _ScannedEncoderLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_encoder_layers,
+            )
+            out, _ = scan_cls(
+                d_model=self.d_model, d_ffn=self.dim_feedforward,
+                dropout=self.dropout, n_levels=self.num_feature_levels,
+                n_heads=self.nhead, n_points=self.enc_n_points,
+                spatial_shapes=spatial_shapes, train_mode=train,
+                sampling_engine=self.sampling_engine,
+                pallas_weighting=self.pallas_weighting,
+                remat=self.remat, remat_policy=self.remat_policy,
+                dtype=self.dtype, name="encoder_scan",
+            )(src_flat, pos_flat, ref)
+            return out, spatial_shapes
 
         # rematerialize each encoder layer under autodiff: the deformable
         # gather/taps intermediates otherwise dominate activation memory
@@ -151,6 +211,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     remat_policy: str = "full"  # TPU.REMAT_POLICY
     sampling_engine: str = "packed2x2"  # TPU.SAMPLING_ENGINE
     pallas_weighting: bool = False      # TPU.PALLAS_TAP_WEIGHTING
+    scan_layers: bool = False           # TPU.SCAN_ENCODER
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -172,6 +233,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             remat_policy=cfg.TPU.REMAT_POLICY,
             sampling_engine=cfg.TPU.SAMPLING_ENGINE,
             pallas_weighting=cfg.TPU.PALLAS_TAP_WEIGHTING,
+            scan_layers=cfg.TPU.SCAN_ENCODER,
             dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
         )
 
@@ -211,6 +273,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             remat_policy=self.remat_policy,
             sampling_engine=self.sampling_engine,
             pallas_weighting=self.pallas_weighting,
+            scan_layers=self.scan_layers,
             dtype=self.dtype, name="transformer",
         )(srcs, pos, train=train)
 

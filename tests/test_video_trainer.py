@@ -80,6 +80,8 @@ def test_video_trainer_two_steps(ytvis_records, tmp_path, monkeypatch):
         "SOLVER.CHECKPOINT_PERIOD", "2",
         "TPU.MAX_INSTANCES", "4",
         "TPU.MESH_SHAPE", "[1]",
+        "INPUT.MIN_SIZE_TEST", "64",
+        "DATASETS.TEST", "('synth_ytvis_val',)",
         "OUTPUT_DIR", str(tmp_path / "out"),
     ])
     model = build_model(cfg)
@@ -105,3 +107,11 @@ def test_video_trainer_two_steps(ytvis_records, tmp_path, monkeypatch):
                for l in open(tmp_path / "out" / "metrics.json")]
     assert any("loss_dice" in m for m in metrics)
     assert (tmp_path / "out" / "checkpoints" / "2").is_dir()
+
+    # Trainer.test routes video models to whole-clip YTVIS evaluation
+    from mp_former_tpu.data.catalog import DatasetCatalog
+
+    if "synth_ytvis_val" not in DatasetCatalog:
+        DatasetCatalog.register("synth_ytvis_val", lambda: ytvis_records)
+    results = trainer.test(max_images=2)
+    assert results is not None and "AP" in results["segm"]
