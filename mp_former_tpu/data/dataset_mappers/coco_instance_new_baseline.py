@@ -18,7 +18,8 @@ import numpy as np
 
 from ...utils.registry import DATASET_MAPPER_REGISTRY
 from ..transforms import (
-    TransformRecord, apply_record_to_image, lsj_transform, polygons_to_bitmask)
+    TransformRecord, apply_record_to_image, block_any_pool, lsj_transform,
+    polygons_to_bitmask, resolve_gt_mask_stride)
 
 
 def _mask_from_segmentation(seg, rec: TransformRecord,
@@ -49,8 +50,9 @@ def _mask_from_segmentation(seg, rec: TransformRecord,
             mask = flat.reshape(mw, mh).T  # COCO RLE is column-major
             m = _transform_bitmask(mask.astype(bool), rec)
             if stride > 1:
-                m = cv2.resize(m.astype(np.uint8), (w, h),
-                               interpolation=cv2.INTER_NEAREST).astype(bool)
+                # any-pool, not nearest-resize: point sampling can delete
+                # thin structures from the GT
+                m = block_any_pool(m, stride)[:h, :w]
             return m
     return None
 
@@ -91,10 +93,7 @@ class COCOInstanceNewBaselineDatasetMapper:
         self.img_format = cfg.INPUT.FORMAT
         # 0 = auto: 1/4-res GT masks when the grid-mode loss (which resizes
         # GT to the 1/4 prediction grid anyway) is active, full-res otherwise
-        stride = cfg.TPU.GT_MASK_STRIDE
-        if stride == 0:
-            stride = 4 if cfg.TPU.POINT_SAMPLE_MODE == "grid" else 1
-        self.gt_mask_stride = stride
+        self.gt_mask_stride = resolve_gt_mask_stride(cfg)
 
     def __call__(self, record: Dict, rng: np.random.RandomState) -> Optional[Dict]:
         img = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)

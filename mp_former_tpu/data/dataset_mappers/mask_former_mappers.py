@@ -17,7 +17,8 @@ import numpy as np
 
 from ...utils.registry import DATASET_MAPPER_REGISTRY
 from ..transforms import (TransformRecord, apply_record_to_image,
-                          color_aug_ssd, lsj_transform, resize_shortest_edge)
+                          block_any_pool, color_aug_ssd, lsj_transform,
+                          resize_shortest_edge, resolve_gt_mask_stride)
 
 
 def rgb2id(color: np.ndarray) -> np.ndarray:
@@ -77,10 +78,7 @@ class _BaseSemanticMapper:
         self.max_instances = max_instances
         # GT mask stride (see coco_instance_new_baseline: lossless for the
         # grid-mode loss, which resizes GT to the 1/4 prediction grid)
-        stride = cfg.TPU.GT_MASK_STRIDE
-        if stride == 0:
-            stride = 4 if cfg.TPU.POINT_SAMPLE_MODE == "grid" else 1
-        self.gt_mask_stride = stride
+        self.gt_mask_stride = resolve_gt_mask_stride(cfg)
 
     def _geometry(self, rng, h, w, sem=None):
         rec = resize_shortest_edge(rng, h, w, self.min_sizes, self.max_size,
@@ -137,14 +135,17 @@ class MaskFormerSemanticDatasetMapper(_BaseSemanticMapper):
 
         n_cap = self.max_instances
         st = self.gt_mask_stride
-        sem_small = sem_canvas[::st, ::st]
+        # class presence from the FULL canvas + any-pooled masks: point
+        # sampling ([::st]) can silently drop thin classes (poles, lines)
+        ms_shape = ((sem_canvas.shape[0] + st - 1) // st,
+                    (sem_canvas.shape[1] + st - 1) // st)
         labels = np.zeros((n_cap,), np.int32)
-        masks = np.zeros((n_cap,) + sem_small.shape, bool)
+        masks = np.zeros((n_cap,) + ms_shape, bool)
         valid = np.zeros((n_cap,), bool)
-        classes = np.unique(sem_small)
+        classes = np.unique(sem_canvas)
         classes = classes[classes != self.ignore]
         for i, c in enumerate(classes[:n_cap]):
-            masks[i] = sem_small == c
+            masks[i] = block_any_pool(sem_canvas == c, st)
             labels[i] = c
             valid[i] = True
         return {
@@ -184,15 +185,16 @@ class MaskFormerPanopticDatasetMapper(_BaseSemanticMapper):
 
         n_cap = self.max_instances
         st = self.gt_mask_stride
-        pan_small = pan_canvas[::st, ::st]
+        ms_shape = ((pan_canvas.shape[0] + st - 1) // st,
+                    (pan_canvas.shape[1] + st - 1) // st)
         labels = np.zeros((n_cap,), np.int32)
-        masks = np.zeros((n_cap,) + pan_small.shape, bool)
+        masks = np.zeros((n_cap,) + ms_shape, bool)
         valid = np.zeros((n_cap,), bool)
         i = 0
         for seg in record.get("segments_info", []):
             if seg.get("iscrowd", 0) or i >= n_cap:
                 continue
-            m = pan_small == seg["id"]
+            m = block_any_pool(pan_canvas == seg["id"], st)
             if not m.any():
                 continue
             masks[i] = m
@@ -264,10 +266,7 @@ class COCOPanopticNewBaselineDatasetMapper:
         self.flip = cfg.INPUT.RANDOM_FLIP != "none"
         self.fmt = cfg.INPUT.FORMAT
         self.max_instances = max_instances
-        stride = cfg.TPU.GT_MASK_STRIDE
-        if stride == 0:
-            stride = 4 if cfg.TPU.POINT_SAMPLE_MODE == "grid" else 1
-        self.gt_mask_stride = stride
+        self.gt_mask_stride = resolve_gt_mask_stride(cfg)
 
     def __call__(self, record: Dict, rng: np.random.RandomState) -> Optional[Dict]:
         img = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
@@ -287,7 +286,6 @@ class COCOPanopticNewBaselineDatasetMapper:
 
         n_cap = self.max_instances
         st = self.gt_mask_stride
-        pan_small = pan_t[::st, ::st]
         ms = (self.image_size + st - 1) // st
         labels = np.zeros((n_cap,), np.int32)
         masks = np.zeros((n_cap, ms, ms), bool)
@@ -296,10 +294,10 @@ class COCOPanopticNewBaselineDatasetMapper:
         for seg in record.get("segments_info", []):
             if seg.get("iscrowd", 0) or i >= n_cap:
                 continue
-            m = pan_small == seg["id"]
+            m = block_any_pool(pan_t == seg["id"], st)
             if not m.any():
                 continue
-            masks[i] = m
+            masks[i, : m.shape[0], : m.shape[1]] = m
             labels[i] = seg["category_id"]
             valid[i] = True
             i += 1

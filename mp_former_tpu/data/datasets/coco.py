@@ -39,8 +39,15 @@ def load_coco_json(json_file: str, image_root: str, dataset_name: Optional[str] 
 
     records = []
     for img in coco["images"]:
+        if "file_name" in img:
+            fname = img["file_name"]
+        else:
+            # LVIS v1 images carry only coco_url
+            # (http://.../train2017/000000391895.jpg) — keep the split
+            # directory prefix, like d2's LVIS loader
+            fname = "/".join(img["coco_url"].split("/")[-2:])
         rec = {
-            "file_name": os.path.join(image_root, img["file_name"]),
+            "file_name": os.path.join(image_root, fname),
             "height": img["height"],
             "width": img["width"],
             "image_id": img["id"],

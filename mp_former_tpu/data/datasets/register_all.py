@@ -210,10 +210,18 @@ def register_cityscapes_panoptic(name, image_dir, gt_dir, split):
         if not os.path.isfile(json_file):
             return []
         recs = load_coco_panoptic_json(json_file, image_dir, pan_root, name)
-        # panoptic file names lack the leftImg8bit suffix and city nesting
+        # derive the city-nested gtFine/leftImg8bit siblings from the json's
+        # image name; createPanopticImgs writes file_name as
+        # '<city>_<seq>_<frame>_leftImg8bit.png', so strip BOTH possible
+        # suffixes before re-appending (else paths double the suffix)
         for r in recs:
-            stem = os.path.basename(r["file_name"]).replace(
-                "_gtFine_panoptic.png", "").replace(".jpg", "").replace(".png", "")
+            stem = os.path.basename(r["file_name"])
+            for suf in (".jpg", ".png"):
+                if stem.endswith(suf):
+                    stem = stem[: -len(suf)]
+            for suf in ("_gtFine_panoptic", "_leftImg8bit"):
+                if stem.endswith(suf):
+                    stem = stem[: -len(suf)]
             city = stem.split("_")[0]
             r["file_name"] = os.path.join(
                 image_dir, split, city, stem + "_leftImg8bit.png")

@@ -197,3 +197,31 @@ def color_aug_ssd(rng: np.random.RandomState, img: np.ndarray) -> np.ndarray:
         img = saturation(img)
         img = contrast(img)
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def resolve_gt_mask_stride(cfg) -> int:
+    """TPU.GT_MASK_STRIDE with 0 = auto: ship GT masks at 1/4 canvas when
+    the grid-mode loss is active (it resizes GT to the 1/4 prediction grid
+    anyway), full resolution otherwise. Single source of truth for every
+    mapper (the rule must not drift between them)."""
+    stride = cfg.TPU.GT_MASK_STRIDE
+    if stride == 0:
+        stride = 4 if cfg.TPU.POINT_SAMPLE_MODE == "grid" else 1
+    return stride
+
+
+def block_any_pool(mask: np.ndarray, stride: int) -> np.ndarray:
+    """Max ('any') pool a boolean mask by stride: a GT pixel anywhere in a
+    stride x stride block marks the block. Unlike [::s, ::s] point sampling
+    this cannot delete thin (1-2 px) structures — poles, fence lines — from
+    the training targets."""
+    if stride == 1:
+        return mask
+    h, w = mask.shape
+    hp = (h + stride - 1) // stride * stride
+    wp = (w + stride - 1) // stride * stride
+    if (hp, wp) != (h, w):
+        p = np.zeros((hp, wp), mask.dtype)
+        p[:h, :w] = mask
+        mask = p
+    return mask.reshape(hp // stride, stride, wp // stride, stride).any((1, 3))

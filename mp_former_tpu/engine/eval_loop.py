@@ -135,6 +135,27 @@ def postprocess_panoptic(logits, masks, image_size, out_h, out_w,
         overlap_threshold, is_thing)
 
 
+# jitted eval forwards keyed by model identity: periodic eval calls
+# run_evaluation every TEST.EVAL_PERIOD steps, and a fresh @jax.jit closure
+# per call would re-trace (and re-look-up XLA compilation) each time. The
+# model object is pinned in the value so its id stays valid.
+_FWD_CACHE: Dict[int, tuple] = {}
+
+
+def _eval_forward(model):
+    hit = _FWD_CACHE.get(id(model))
+    if hit is not None and hit[0] is model:
+        return hit[1]
+
+    @jax.jit
+    def fwd(p, im):
+        out = model.apply(p, im, None, train=False)
+        return out["pred_logits"], out["pred_masks"]
+
+    _FWD_CACHE[id(model)] = (model, fwd)
+    return fwd
+
+
 def run_evaluation(cfg, model, params, dataset_name: str,
                    max_images: Optional[int] = None,
                    evaluator_set=None) -> Dict:
@@ -154,10 +175,7 @@ def run_evaluation(cfg, model, params, dataset_name: str,
     topk = cfg.TEST.DETECTIONS_PER_IMAGE
     tasks = evset.tasks
 
-    @jax.jit
-    def fwd(p, im):
-        out = model.apply(p, im, None, train=False)
-        return out["pred_logits"], out["pred_masks"]
+    fwd = _eval_forward(model)
 
     evset.reset()
     n = 0

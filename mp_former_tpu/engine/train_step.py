@@ -34,19 +34,21 @@ def create_train_state(params, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def compute_dn_groups(scalar: int, valid) -> Optional[int]:
-    """Host-side DN group count for the NUM_DN >= 100 convention: the
-    reference treats scalar as a total-query budget and divides by the
-    BATCH max GT count (mask2former_transformer_decoder.py:973-974). Group
-    count is a static shape under jit, so it must be computed on host;
-    every distinct value compiles a new step (only NUM_DN >= 100 configs
-    pay this — the released recipe uses scalar=1)."""
+def compute_dn_groups(scalar: int, valid) -> Optional[tuple]:
+    """Host-side (group count, batch max GT) for the NUM_DN >= 100
+    convention: the reference treats scalar as a total-query budget, divides
+    by the BATCH max GT count, and pads the DN block to groups * batch_max
+    (mask2former_transformer_decoder.py:973-974) — so the block stays ~the
+    budget, not groups * static-cap. Both values are static shapes under
+    jit, so they must be computed on host; every distinct pair compiles a
+    new step (only NUM_DN >= 100 configs pay this — the released recipe
+    uses scalar=1)."""
     if scalar < 100:
         return None
     import numpy as np
 
-    m = int(np.asarray(valid).sum(-1).max())
-    return max(1, scalar // max(m, 1))
+    m = max(int(np.asarray(valid).sum(-1).max()), 1)
+    return max(1, scalar // m), m
 
 
 def make_train_step(model, criterion, tx, donate: bool = True):

@@ -143,7 +143,17 @@ def build_evaluator(cfg, dataset_name: str,
 
     entries: List[_Entry] = []
 
-    def sem():
+    def sem(require_gt: bool = False):
+        # the reference appends SemSegEvaluator unconditionally; for panoptic
+        # datasets registered without sem-seg GT (e.g. coco_*_panoptic
+        # instead of *_with_sem_seg) that evaluates 0 images into NaN mIoU —
+        # skip with a warning instead
+        if require_gt and records and not records[0].get("sem_seg_file_name"):
+            logger.warning(
+                "%s has no sem_seg_file_name GT; skipping the semantic "
+                "evaluator (use the *_with_sem_seg registration for mIoU)",
+                dataset_name)
+            return
         entries.append(_Entry(
             "semantic", SemSegEvaluator(num_classes, ignore), "sem_seg"))
 
@@ -172,12 +182,12 @@ def build_evaluator(cfg, dataset_name: str,
     if et == "coco_panoptic_seg" and test_cfg.INSTANCE_ON:
         coco_inst()
     if et == "coco_panoptic_seg" and test_cfg.SEMANTIC_ON:
-        sem()
+        sem(require_gt=True)
     # Mapillary Vistas extras (:183-188)
     if et == "mapillary_vistas_panoptic_seg" and test_cfg.INSTANCE_ON:
         coco_inst(InstanceSegEvaluator)
     if et == "mapillary_vistas_panoptic_seg" and test_cfg.SEMANTIC_ON:
-        sem()
+        sem(require_gt=True)
     # Cityscapes (:189-209)
     if et == "cityscapes_instance":
         entries.append(_Entry(

@@ -357,7 +357,11 @@ class SetCriterion:
             hw = outputs["pred_masks"].shape[-2:]
             main_ctx = self._make_grid_ctx(targets.masks, targets.valid, hw)
             if dn_out is not None:
-                dn_ctx = self._make_grid_ctx(targets.masks, dn_valid, hw)
+                # dn_valid slots are groups of n=max_num: sel_n % gt_n must
+                # map slot -> GT within the CAPPED set (width n), not the
+                # uncapped targets.masks (width MAX_INSTANCES) — with
+                # scalar>1 the latter reads padding rows for groups >= 1
+                dn_ctx = self._make_grid_ctx(dn_targets.masks, dn_valid, hw)
 
         def compute(out, qidx, suffix, rng_l):
             d = {}

@@ -77,16 +77,20 @@ class MaskFormer(nn.Module):
         targets: Optional[Targets] = None,
         *,
         train: bool = False,
-        dn_groups: Optional[int] = None,
+        dn_groups=None,
     ) -> Dict:
-        """dn_groups: host-computed DN group count for NUM_DN >= 100 configs
-        (engine.train_step.compute_dn_groups; reference decoder :973-974)."""
+        """dn_groups: host-computed (groups, batch_max_gt) for NUM_DN >= 100
+        configs (engine.train_step.compute_dn_groups; reference decoder
+        :973-974). A bare int (legacy) is accepted as groups-only."""
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = (images - mean) / std
         features = self.backbone(x)
         dn_args = None
         if train and targets is not None:
+            groups, batch_max = (dn_groups if isinstance(dn_groups, tuple)
+                                 else (dn_groups, None))
             dn_args = DNArgs(targets=targets, scalar=self.scalar,
-                             noise_scale=self.noise_scale, groups=dn_groups)
+                             noise_scale=self.noise_scale, groups=groups,
+                             batch_max=batch_max)
         return self.sem_seg_head(features, dn_args, train=train)

@@ -342,14 +342,23 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
         dn_meta = None
         if use_dn:
             targets = dn_args.targets
-            if 0 < self.dn_max_gt < targets.num_instances:
-                # compact the DN block to the static DN cap (targets are
-                # valid-prefix, so this is a slice; see dn_max_gt docstring)
+            cap = targets.num_instances
+            if self.dn_max_gt > 0:
+                cap = min(cap, self.dn_max_gt)
+            if dn_args.batch_max is not None:
+                # NUM_DN >= 100 budget convention: the reference pads to the
+                # BATCH max GT (:973-974), so the DN block is
+                # groups * batch_max ~ the budget — not groups * static-cap
+                # (which inflates the block by cap/batch_max)
+                cap = min(cap, max(1, dn_args.batch_max))
+            if cap < targets.num_instances:
+                # compact the DN block to the cap (targets are valid-prefix,
+                # so this is a slice; see dn_max_gt docstring)
                 targets = Targets(
-                    labels=targets.labels[:, :self.dn_max_gt],
-                    masks=targets.masks[:, :self.dn_max_gt],
-                    boxes=targets.boxes[:, :self.dn_max_gt],
-                    valid=targets.valid[:, :self.dn_max_gt])
+                    labels=targets.labels[:, :cap],
+                    masks=targets.masks[:, :cap],
+                    boxes=targets.boxes[:, :cap],
+                    valid=targets.valid[:, :cap])
             N = targets.num_instances
             scalar = dn_args.scalar
             if scalar >= 100:

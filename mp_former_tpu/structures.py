@@ -41,9 +41,14 @@ class DNArgs(NamedTuple):
     (reference mask2former_transformer_decoder.py:973-974 divides the query
     budget by the BATCH max GT count — a host-side value under jit; see
     engine.train_step.compute_dn_groups). None = decoder falls back to
-    dividing by its static instance cap."""
+    dividing by its static instance cap.
+
+    batch_max: the batch max GT count itself (same host-side source); under
+    the budget convention the decoder compacts the DN block to
+    groups * batch_max (~the budget) instead of groups * static-cap."""
 
     targets: Targets
     scalar: int
     noise_scale: float
     groups: Optional[int] = None
+    batch_max: Optional[int] = None

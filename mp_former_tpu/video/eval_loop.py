@@ -67,6 +67,22 @@ def make_clip_forward(cfg, t_pad: int):
     return fwd
 
 
+# jitted per-T-bucket clip forwards keyed by model identity, so periodic
+# eval during training does not re-trace every call (the model object is
+# pinned in the value to keep its id valid)
+_CLIP_FWD_CACHE: Dict[tuple, tuple] = {}
+
+
+def _clip_forward(cfg, model, t_pad: int):
+    key = (id(model), t_pad)
+    hit = _CLIP_FWD_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    fwd = make_clip_forward(cfg, t_pad)
+    _CLIP_FWD_CACHE[key] = (model, fwd)
+    return fwd
+
+
 def inference_on_video_dataset(cfg, model, params, records: List[dict],
                                max_videos: Optional[int] = None,
                                max_frames: Optional[int] = None) -> Dict:
@@ -78,7 +94,6 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
     clips (None = no cap)."""
     evaluator = YTVISEvaluator(records)
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
-    fwd_cache = {}
 
     n = 0
     for rec in records:
@@ -99,13 +114,12 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
         if len(frames) < t:
             continue
         t_pad = t_bucket(t)
-        if t_pad not in fwd_cache:
-            fwd_cache[t_pad] = make_clip_forward(cfg, t_pad)
+        fwd = _clip_forward(cfg, model, t_pad)
         frames += [frames[-1]] * (t_pad - t)
         frame_valid = jnp.asarray(
             np.arange(t_pad)[None, :] < t)  # (1, T_pad)
         clip = jnp.asarray(np.stack(frames)[None].astype(np.float32))
-        logits, masks = fwd_cache[t_pad](params, clip, frame_valid)
+        logits, masks = fwd(params, clip, frame_valid)
         scores, classes, tubes = inference_video(
             np.asarray(logits[0]), masks[0, :, :t],
             (nh, nw), h, w, num_classes)

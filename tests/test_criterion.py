@@ -165,6 +165,46 @@ def test_full_criterion_keys_and_finiteness():
         assert np.isfinite(float(v)), k_
 
 
+def test_dn_grid_ctx_uses_capped_gt_rows():
+    """With scalar>1 and a compacted DN block (max_num < MAX_INSTANCES), the
+    grid-mode DN losses must read GT rows modulo the CAPPED width. Invariance
+    check: padding targets with extra invalid rows must not change DN losses
+    (the bug read group>=1 slots from the padding rows of the uncapped set)."""
+    b, q, k, h, w, layers = 1, 8, 4, 8, 8, 2
+    n_cap, scalar = 2, 2
+    rng = np.random.RandomState(7)
+    matcher = HungarianMatcher(2.0, 5.0, 5.0, num_points=32)
+    crit = SetCriterion(k, matcher, {}, 0.1, ["labels", "masks"],
+                        num_points=32, oversample_ratio=2.0,
+                        importance_sample_ratio=0.75,
+                        max_pairs=64, point_sample_mode="grid")
+
+    gt_masks = rng.rand(b, n_cap, 32, 32) > 0.4
+    labels = rng.randint(0, k, (b, n_cap))
+
+    def targets_padded_to(width):
+        pad = width - n_cap
+        return Targets(
+            labels=jnp.asarray(np.pad(labels, ((0, 0), (0, pad))), jnp.int32),
+            masks=jnp.asarray(np.pad(gt_masks, ((0, 0), (0, pad), (0, 0), (0, 0)))),
+            boxes=jnp.asarray(np.pad(rng.rand(b, n_cap, 4),
+                                     ((0, 0), (0, pad), (0, 0))), jnp.float32),
+            valid=jnp.asarray(np.pad(np.ones((b, n_cap), bool),
+                                     ((0, 0), (0, pad)))))
+
+    pad_size = scalar * n_cap
+    outputs = _dummy_outputs(b, q, k, h, w, layers, rng, dn_pad=pad_size)
+    outputs["dn_out"]["dn_args"] = {
+        "pad_size": pad_size, "max_num": n_cap, "scalar": scalar}
+
+    l_wide = crit(outputs, targets_padded_to(6), jax.random.PRNGKey(0))
+    l_tight = crit(outputs, targets_padded_to(n_cap), jax.random.PRNGKey(0))
+    for key in ("loss_mask_dn", "loss_dice_dn", "loss_ce_dn"):
+        np.testing.assert_allclose(
+            float(l_wide[key]), float(l_tight[key]), rtol=1e-5, err_msg=key)
+        assert float(l_tight[key]) != 0.0
+
+
 def test_criterion_zero_dn_when_absent():
     b, q, n, k, h, w, layers = 1, 8, 3, 4, 8, 8, 2
     rng = np.random.RandomState(4)

@@ -106,3 +106,65 @@ def test_cityscapes_instance_loader(tmp_path):
     assert annos[0]["category_id"] == 2  # car
     assert annos[0]["iscrowd"] == 0
     assert annos[1]["iscrowd"] == 1  # cargroup
+
+
+def test_cityscapes_panoptic_path_derivation(tmp_path):
+    """createPanopticImgs writes images[].file_name as
+    '<city>_<seq>_<frame>_leftImg8bit.png' — derived leftImg8bit/gtFine
+    sibling paths must not double the suffix."""
+    import json
+
+    from mp_former_tpu.data.datasets.register_all import (
+        register_cityscapes_panoptic)
+
+    gt = tmp_path / "gtFine"
+    (gt).mkdir()
+    data = {
+        "images": [{"id": "frankfurt_000000_000294", "width": 2048,
+                    "height": 1024,
+                    "file_name": "frankfurt_000000_000294_leftImg8bit.png"}],
+        "annotations": [{
+            "image_id": "frankfurt_000000_000294",
+            "file_name": "frankfurt_000000_000294_gtFine_panoptic.png",
+            "segments_info": []}],
+        "categories": [{"id": 7, "name": "road", "isthing": 0}],
+    }
+    (gt / "cityscapes_panoptic_val.json").write_text(json.dumps(data))
+    name = "test_cs_pan_derivation"
+    if name not in DatasetCatalog:
+        register_cityscapes_panoptic(
+            name, str(tmp_path / "leftImg8bit"), str(gt), "val")
+    recs = DatasetCatalog.get(name)
+    assert len(recs) == 1
+    r = recs[0]
+    stem = "frankfurt_000000_000294"
+    assert r["file_name"].endswith(
+        f"leftImg8bit/val/frankfurt/{stem}_leftImg8bit.png"), r["file_name"]
+    assert "leftImg8bit_leftImg8bit" not in r["file_name"]
+    assert r["sem_seg_file_name"].endswith(
+        f"gtFine/val/frankfurt/{stem}_gtFine_labelTrainIds.png")
+    assert r["instance_id_file"].endswith(f"{stem}_gtFine_instanceIds.png")
+
+
+def test_lvis_images_without_file_name(tmp_path):
+    """LVIS v1 image entries carry only coco_url; the loader must derive
+    'val2017/<id>.jpg' like d2's LVIS loader."""
+    import json
+
+    from mp_former_tpu.data.datasets.coco import load_coco_json
+
+    data = {
+        "images": [{
+            "id": 1, "width": 640, "height": 480,
+            "coco_url": "http://images.cocodataset.org/val2017/000000397133.jpg",
+        }],
+        "annotations": [{
+            "id": 1, "image_id": 1, "category_id": 3, "bbox": [0, 0, 10, 10],
+            "segmentation": [[0, 0, 10, 0, 10, 10]], "area": 50.0}],
+        "categories": [{"id": 3, "name": "applesauce"}],
+    }
+    jf = tmp_path / "lvis_v1_val.json"
+    jf.write_text(json.dumps(data))
+    recs = load_coco_json(str(jf), "/data/coco", filter_empty=False)
+    assert recs[0]["file_name"] == "/data/coco/val2017/000000397133.jpg"
+    assert recs[0]["annotations"][0]["category_id"] == 0

@@ -12,16 +12,16 @@ from mp_former_tpu.structures import Targets
 
 
 def test_compute_dn_groups_matches_reference_rule():
-    # batch max valid GT = 7 -> groups = 100 // 7 = 14
+    # batch max valid GT = 7 -> groups = 100 // 7 = 14, padded to 14 * 7
     valid = np.zeros((2, 20), bool)
     valid[0, :7] = True
     valid[1, :3] = True
-    assert compute_dn_groups(100, valid) == 14
-    assert compute_dn_groups(150, valid) == 21
+    assert compute_dn_groups(100, valid) == (14, 7)
+    assert compute_dn_groups(150, valid) == (21, 7)
     # below the budget convention: passthrough (None -> decoder uses scalar)
     assert compute_dn_groups(5, valid) is None
     # empty batch: guard against division by zero
-    assert compute_dn_groups(100, np.zeros((2, 20), bool)) == 100
+    assert compute_dn_groups(100, np.zeros((2, 20), bool)) == (100, 1)
 
 
 def test_decoder_uses_host_groups():
@@ -72,14 +72,15 @@ def test_decoder_uses_host_groups():
         valid=jnp.asarray(valid))
 
     groups = compute_dn_groups(100, valid)
-    assert groups == 50
+    assert groups == (50, 2)
     rngs = {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2)}
     out = model.init_with_output(
         rngs, images, targets, train=True, dn_groups=groups)[0]
-    # DN block = groups * min(N, DN_MAX_GT) = 50 * 4
+    # DN block = groups * batch_max = 50 * 2 ~ the 100-query budget
+    # (reference :973-974 pads to the batch max GT, NOT the static cap)
     assert out["dn_out"]["dn_args"]["scalar"] == 50
-    assert out["dn_out"]["dn_args"]["pad_size"] == 50 * 4
+    assert out["dn_out"]["dn_args"]["pad_size"] == 50 * 2
     # fallback without host groups: divides by the static cap (4) -> 25
     out2 = model.init_with_output(rngs, images, targets, train=True)[0]
     assert out2["dn_out"]["dn_args"]["scalar"] == 25

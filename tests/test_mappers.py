@@ -77,10 +77,44 @@ def test_semantic_mapper_static_shapes(tmp_path):
     assert s["sem_seg"].shape == (64, 64)
     # grid-mode default rasterizes GT masks at 1/4 canvas (TPU.GT_MASK_STRIDE)
     assert s["masks"].shape == (8, 16, 16)
-    # class masks partition the labeled area (at the strided grid)
-    labeled = s["sem_seg"][::4, ::4] != 255
+    # class masks cover the labeled area (any-pooled to the strided grid —
+    # any-pool distributes over the union of the per-class masks)
+    from mp_former_tpu.data.transforms import block_any_pool
+
+    labeled = block_any_pool(s["sem_seg"] != 255, 4)
     union = np.zeros((16, 16), bool)
     for i in range(8):
         if s["valid"][i]:
             union |= s["masks"][i]
     np.testing.assert_array_equal(union, labeled)
+
+
+def test_strided_gt_keeps_thin_structures(tmp_path):
+    """A 1-px-wide class line must survive GT_MASK_STRIDE=4 (any-pooling;
+    [::4] point sampling could delete it entirely)."""
+    import cv2
+
+    from mp_former_tpu.data.dataset_mappers.mask_former_mappers import (
+        MaskFormerSemanticDatasetMapper)
+
+    cfg = get_cfg()
+    add_deeplab_config(cfg)
+    add_maskformer2_config(cfg)
+    cfg.merge_from_list([
+        "INPUT.MIN_SIZE_TRAIN", "(64,)",
+        "INPUT.MAX_SIZE_TRAIN", "64",
+        "INPUT.COLOR_AUG_SSD", "False",
+        "INPUT.SIZE_DIVISIBILITY", "64",
+        "INPUT.RANDOM_FLIP", "none",
+    ])
+    img = np.full((64, 64, 3), 127, np.uint8)
+    sem = np.zeros((64, 64), np.uint8)
+    sem[13, :] = 7  # 1-px horizontal line, off the stride-4 sample grid
+    f_img, f_sem = str(tmp_path / "t.jpg"), str(tmp_path / "t.png")
+    cv2.imwrite(f_img, img)
+    cv2.imwrite(f_sem, sem)
+    mapper = MaskFormerSemanticDatasetMapper(cfg, max_instances=4)
+    s = mapper({"file_name": f_img, "sem_seg_file_name": f_sem, "image_id": 0},
+               np.random.RandomState(0))
+    got = set(s["labels"][s["valid"]].tolist())
+    assert 7 in got, got
