@@ -167,7 +167,10 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
                 pallas_weighting=self.pallas_weighting,
                 remat=self.remat, remat_policy=self.remat_policy,
                 dtype=self.dtype, name="encoder_scan",
-            )(src_flat, pos_flat, ref)
+            )(src_flat.astype(self.dtype), pos_flat, ref)
+            # (carry must be dtype-stable across scan iterations: the input
+            # projections' GroupNorm promotes to f32 while layers emit
+            # self.dtype)
             return out, spatial_shapes
 
         # rematerialize each encoder layer under autodiff: the deformable

@@ -75,6 +75,28 @@ def test_scan_encoder_matches_unrolled():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_scan_encoder_bf16_traces():
+    """The scan carry must be dtype-stable under bf16 compute (the input
+    projections' GroupNorm promotes to f32; regression for the trace-time
+    carry-dtype mismatch)."""
+    from mp_former_tpu.models.pixel_decoder.msdeformattn import (
+        MSDeformAttnTransformerEncoderOnly)
+
+    enc = MSDeformAttnTransformerEncoderOnly(
+        d_model=32, nhead=4, num_encoder_layers=2, dim_feedforward=64,
+        dropout=0.0, num_feature_levels=3, enc_n_points=4, remat=False,
+        scan_layers=True, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    srcs = [jnp.asarray(rng.randn(1, h, w, 32), jnp.float32)
+            for (h, w) in [(8, 8), (4, 4), (2, 2)]]
+    pos = [jnp.asarray(rng.randn(1, h, w, 32), jnp.float32)
+           for (h, w) in [(8, 8), (4, 4), (2, 2)]]
+    params = enc.init(jax.random.PRNGKey(0), srcs, pos)["params"]
+    out, _ = enc.apply({"params": params}, srcs, pos)
+    assert out.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
 def test_scan_encoder_grad_with_remat():
     """Scan composes with per-layer remat under autodiff (training path)."""
     from mp_former_tpu.models.pixel_decoder.msdeformattn import (
