@@ -37,6 +37,9 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
             out[k] = v.numpy()
         except AttributeError:
             out[k] = np.asarray(v)
+        except TypeError:
+            # torch raises TypeError for dtypes numpy lacks (bfloat16)
+            out[k] = v.float().numpy()
     return out
 
 
@@ -261,6 +264,13 @@ def load_reference_weights(path: str, params_template,
         if restored is not None:
             logger.info("restored params from Orbax checkpoint %s", path)
             return restored
+        # a directory that is not a recognizable Orbax checkpoint would fall
+        # through to torch.load(dir) -> IsADirectoryError; warn instead
+        logger.warning(
+            "MODEL.WEIGHTS %s is a directory but not a recognizable Orbax "
+            "checkpoint (expected OUTPUT_DIR/checkpoints, a step dir, or its "
+            "'default' item); keeping the fresh initialization", path)
+        return jax.tree.map(np.asarray, params_template)
     local = resolve_checkpoint_path(path)
     if local is None:
         logger.warning(

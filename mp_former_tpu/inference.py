@@ -125,7 +125,6 @@ def panoptic_inference(
 
     current_segment_id = 0
     stuff_memory: Dict[int, int] = {}
-    mask_cache = None
     for k in range(labels.shape[0]):
         if not keep[k]:
             continue

@@ -23,12 +23,15 @@ from ..structures import Targets
 from ..utils.interp import point_sample
 
 _INVALID_COST = 1e6
-_POOL = ThreadPoolExecutor(max_workers=8)
+_POOL = None  # created lazily: only the CPU scipy path ever uses it
 
 
 def _lsa_host(cost: np.ndarray) -> np.ndarray:
     """cost: (M, Q, N) -> src_of_tgt (M, N) int32: query index assigned to
     each target column."""
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(max_workers=8)
     cost = np.asarray(cost, dtype=np.float64)
     m, q, n = cost.shape
     out = np.zeros((m, n), dtype=np.int32)
@@ -42,6 +45,19 @@ def _lsa_host(cost: np.ndarray) -> np.ndarray:
     for i, res in _POOL.map(solve, range(m)):
         out[i] = res
     return out
+
+
+def fill_invalid_columns(cost: jax.Array, valid: jax.Array) -> jax.Array:
+    """Replace non-finite entries and invalid target columns with a cost just
+    ABOVE the worst real cost. A huge sentinel (1e6) would blow up the cost
+    range and compress real cost differences below the on-device auction's
+    epsilon/tie-break noise, making assignments effectively random.
+    cost: (B, Q, N); valid: (B, N)."""
+    cost = jnp.where(jnp.isfinite(cost), cost, _INVALID_COST)
+    ceiling = jnp.max(jnp.where(valid[:, None, :], cost, -jnp.inf),
+                      axis=(1, 2), keepdims=True)
+    ceiling = jnp.where(jnp.isfinite(ceiling), ceiling, 0.0) + 1.0
+    return jnp.where(valid[:, None, :], cost, ceiling)
 
 
 def hungarian_assign(cost: jax.Array, impl: str = "auto",
@@ -59,6 +75,11 @@ def hungarian_assign(cost: jax.Array, impl: str = "auto",
         impl = os.environ.get("MPFORMER_LSA", "")
         if not impl:
             impl = "scipy" if jax.default_backend() == "cpu" else "auction"
+    if impl not in ("auction", "scipy"):
+        raise ValueError(
+            f"unknown LSA impl {impl!r} (MPFORMER_LSA): use 'auction' or "
+            "'scipy' — silently falling through to the scipy host callback "
+            "would crash on TPU runtimes without host-callback support")
     if impl == "auction":
         from ..ops.auction_lsa import auction_assign
 
@@ -123,13 +144,7 @@ def match_cost_matrix(
     cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
     cd = batch_dice_cost(out_pts, tgt_pts)
     cost = cost_mask * cm + cost_class * cc + cost_dice * cd
-    cost = jnp.where(jnp.isfinite(cost), cost, _INVALID_COST)
-    # invalid columns: just above the worst real cost (a huge sentinel would
-    # blow up the cost range and degrade the on-device auction's precision)
-    ceiling = jnp.max(jnp.where(targets.valid[:, None, :], cost, -jnp.inf),
-                      axis=(1, 2), keepdims=True)
-    ceiling = jnp.where(jnp.isfinite(ceiling), ceiling, 0.0) + 1.0
-    return jnp.where(targets.valid[:, None, :], cost, ceiling)
+    return fill_invalid_columns(cost, targets.valid)
 
 
 class HungarianMatcher:
@@ -149,4 +164,6 @@ class HungarianMatcher:
 
     def __call__(self, pred_logits, pred_masks, targets: Targets, rng) -> jax.Array:
         """Returns (B, N) int32: query index matched to each target slot."""
-        return hungarian_assign(self.cost(pred_logits, pred_masks, targets, rng))
+        return hungarian_assign(
+            self.cost(pred_logits, pred_masks, targets, rng),
+            col_valid=targets.valid)

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 
 from ..models.criterion import SetCriterion, sample_mask_points
 from ..models.matcher import (HungarianMatcher, batch_dice_cost,
-                              batch_sigmoid_ce_cost, hungarian_assign,
-                              _INVALID_COST)
+                              batch_sigmoid_ce_cost, fill_invalid_columns,
+                              hungarian_assign)
 from ..structures import Targets
 from ..utils.interp import point_sample
 from .video_maskformer import VideoTargets
@@ -47,8 +47,10 @@ class VideoHungarianMatcher(HungarianMatcher):
         cm = batch_sigmoid_ce_cost(out_pts, tgt_pts)
         cd = batch_dice_cost(out_pts, tgt_pts)
         cost = self.cost_mask * cm + self.cost_class * cc + self.cost_dice * cd
-        cost = jnp.where(targets.valid[:, None, :], cost, _INVALID_COST)
-        return jnp.where(jnp.isfinite(cost), cost, _INVALID_COST)
+        # ceiling (just above worst real cost), NOT a 1e6 sentinel: the
+        # sentinel compresses real cost differences below the on-device
+        # auction's epsilon, making tube matching effectively random
+        return fill_invalid_columns(cost, targets.valid)
 
 
 class VideoSetCriterion(SetCriterion):

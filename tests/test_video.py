@@ -183,3 +183,25 @@ def test_whole_clip_eval_16_frames(tmp_path):
     ev.process(1, scores, classes, [tubes[i] for i in range(tubes.shape[0])])
     oracle = ev.evaluate()
     assert abs(results["segm"]["AP"] - oracle["segm"]["AP"]) < 1e-9
+
+
+def test_video_matcher_invalid_columns_use_ceiling():
+    """Invalid tube columns must cost just above the worst REAL cost, not a
+    1e6 sentinel — the sentinel blows up the cost range and compresses real
+    cost differences below the on-device auction's epsilon (regression)."""
+    import jax
+
+    from mp_former_tpu.video.criterion import VideoHungarianMatcher
+
+    rng = np.random.RandomState(0)
+    b, q, n, t, h, w = 1, 6, 5, 2, 8, 8
+    matcher = VideoHungarianMatcher(2.0, 5.0, 5.0, num_points=32)
+    logits = jnp.asarray(rng.randn(b, q, 4), jnp.float32)
+    masks = jnp.asarray(rng.randn(b, q, t, h, w), jnp.float32)
+    targets = VideoTargets(
+        labels=jnp.asarray(rng.randint(0, 3, (b, n)), jnp.int32),
+        masks=jnp.asarray(rng.rand(b, n, t, 4 * h, 4 * w) > 0.5),
+        valid=jnp.asarray([[True, True, False, False, False]]))
+    cost = np.asarray(matcher.cost(logits, masks, targets, jax.random.PRNGKey(0)))
+    real_max = cost[:, :, :2].max()
+    np.testing.assert_allclose(cost[:, :, 2:], real_max + 1.0, rtol=1e-5)
