@@ -81,10 +81,3 @@ def make_train_step(model, criterion, tx, donate: bool = True):
                    static_argnames=("dn_groups",))
 
 
-def make_eval_step(model):
-    """Jitted forward returning raw predictions (post-processing on host)."""
-
-    def eval_step(params, images):
-        return model.apply({"params": params}, images, None, train=False)
-
-    return jax.jit(eval_step)

@@ -65,9 +65,12 @@ def _average_precision(y_true: np.ndarray, y_score: np.ndarray,
     keep[:-1] = y_score[order][1:] != y_score[order][:-1]
     precision = tp[keep] / (tp[keep] + fp[keep])
     recall = tp[keep] / n_pos
-    # trapezoidal area with an implicit (r=0, p=first precision) start
+    # trapezoidal area anchored at the official artificial point
+    # (r=0, p=1.0) — cityscapesscripts appends precision=1, recall=0 before
+    # integrating; anchoring at p=first instead loses area whenever the
+    # top-scored prediction is a false positive
     r = np.concatenate([[0.0], recall])
-    p = np.concatenate([precision[:1], precision])
+    p = np.concatenate([[1.0], precision])
     return float(np.sum((r[1:] - r[:-1]) * (p[1:] + p[:-1]) / 2))
 
 

@@ -80,6 +80,7 @@ class CocoAPEvaluator:
         # per (category) lists of per-image eval records
         self._records: Dict[int, List[dict]] = defaultdict(list)
         self._cats: set = set()
+        self._acc_cache: Dict[str, np.ndarray] = {}
 
     def add_image(
         self,
@@ -99,6 +100,7 @@ class CocoAPEvaluator:
         if eval_cats is not None:
             cats &= eval_cats
         self._cats |= cats
+        self._acc_cache.clear()
         for c in cats:
             dsel = np.nonzero(det_cats == c)[0]
             gsel = np.nonzero(gt_cats == c)[0]
@@ -186,7 +188,11 @@ class CocoAPEvaluator:
         }
 
     def _accumulate(self, area: str = "all") -> np.ndarray:
-        """precision (T, R, K) over categories present in GT."""
+        """precision (T, R, K) over categories present in GT. Memoized per
+        area range: summarize() + per_category_ap() would otherwise re-run
+        the greedy matching pass (the Python hot loop) a 5th time."""
+        if area in self._acc_cache:
+            return self._acc_cache[area]
         rng = AREA_RNGS[area]
         t = len(IOU_THRS)
         cats = sorted(self._cats)
@@ -221,6 +227,7 @@ class CocoAPEvaluator:
                     if pi < len(pr):
                         q[ri] = pr[pi]
                 precision[ti, :, ki] = q
+        self._acc_cache[area] = precision
         return precision
 
     def per_category_ap(self) -> Dict[int, float]:

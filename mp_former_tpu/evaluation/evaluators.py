@@ -129,8 +129,10 @@ class SemSegEvaluator:
         acc = np.full(self.num_classes, np.nan)
         iou = np.full(self.num_classes, np.nan)
         tp = self._conf.diagonal()[:-1].astype(np.float64)
-        pos_gt = self._conf[:, :-1].sum(0).astype(np.float64)
-        pos_pred = self._conf[:-1, :].sum(1).astype(np.float64)
+        pos_gt = self._conf[:-1, :-1].sum(0).astype(np.float64)
+        # exclude the ignore GT column (d2 sums conf[:-1, :-1]): predictions
+        # over ignored pixels must not inflate the union / deflate IoU
+        pos_pred = self._conf[:-1, :-1].sum(1).astype(np.float64)
         class_weights = pos_gt / max(pos_gt.sum(), 1)
         valid = pos_gt > 0
         acc[valid] = tp[valid] / pos_gt[valid]

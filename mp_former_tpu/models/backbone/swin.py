@@ -18,6 +18,7 @@ from flax import linen as nn
 
 from ...utils.registry import BACKBONE_REGISTRY
 from ...utils.shape_spec import ShapeSpec
+from ...utils import compute_dtype
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
@@ -266,5 +267,5 @@ def build_swin_backbone(cfg) -> SwinTransformer:
         out_features=tuple(s.OUT_FEATURES),
         frozen_stages=cfg.MODEL.BACKBONE.FREEZE_AT,
         use_checkpoint=s.USE_CHECKPOINT,
-        dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
+        dtype=compute_dtype(cfg),
     )

@@ -16,6 +16,7 @@ from flax import linen as nn
 from ...utils.interp import resize_nhwc
 from ...utils.registry import PIXEL_DECODER_REGISTRY
 from ...utils.shape_spec import ShapeSpec
+from ...utils import compute_dtype
 from ..transformer_decoder.position_encoding import position_embedding_sine
 from ..transformer_decoder.primitives import MultiheadAttention
 
@@ -56,8 +57,9 @@ class TransformerEncoderLayerVanilla(nn.Module):
 
         def attend(x):
             qk = x + pos
-            return MultiheadAttention(self.d_model, self.nhead, dtype=self.dtype,
-                                      name="self_attn")(qk, qk, x)
+            return MultiheadAttention(self.d_model, self.nhead,
+                                      dropout=self.dropout, dtype=self.dtype,
+                                      name="self_attn")(qk, qk, x, train=train)
 
         def ffn(x):
             h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
@@ -90,7 +92,7 @@ class BasePixelDecoder(nn.Module):
             conv_dim=cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM,
             mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
             norm=cfg.MODEL.SEM_SEG_HEAD.NORM,
-            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
+            dtype=compute_dtype(cfg),
         )
 
     def _top_block(self, x, *, train: bool):
@@ -148,7 +150,7 @@ class TransformerEncoderPixelDecoder(BasePixelDecoder):
             transformer_dim_feedforward=cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD,
             transformer_enc_layers=cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS,
             transformer_pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
-            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
+            dtype=compute_dtype(cfg),
         )
 
     def _top_block(self, x, *, train: bool):

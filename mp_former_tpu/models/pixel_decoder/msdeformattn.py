@@ -25,6 +25,7 @@ from ...ops.ms_deform_attn import MSDeformAttn
 from ...utils.interp import resize_nhwc
 from ...utils.registry import PIXEL_DECODER_REGISTRY
 from ...utils.shape_spec import ShapeSpec
+from ...utils import compute_dtype
 from ..transformer_decoder.position_encoding import position_embedding_sine
 
 
@@ -237,7 +238,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             sampling_engine=cfg.TPU.SAMPLING_ENGINE,
             pallas_weighting=cfg.TPU.PALLAS_TAP_WEIGHTING,
             scan_layers=cfg.TPU.SCAN_ENCODER,
-            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
+            dtype=compute_dtype(cfg),
         )
 
     @nn.compact

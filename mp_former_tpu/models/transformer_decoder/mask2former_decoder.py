@@ -32,6 +32,7 @@ from flax import linen as nn
 from ...structures import DNArgs, Targets
 from ...utils.interp import resize
 from ...utils.registry import TRANSFORMER_DECODER_REGISTRY
+from ...utils import compute_dtype
 from .position_encoding import position_embedding_sine
 from .primitives import CrossAttentionLayer, FFNLayer, MLP, SelfAttentionLayer
 
@@ -110,7 +111,7 @@ class MultiScaleMaskedTransformerDecoderMaskDN(nn.Module):
             last_q_ratio=cfg.MODEL.MASK_FORMER.LAST_Q_RATIO,
             fused_attn=cfg.TPU.FUSED_MASKED_ATTN,
             dn_max_gt=cfg.TPU.DN_MAX_GT,
-            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
+            dtype=compute_dtype(cfg),
         )
 
     # ------------------------------------------------------------------
@@ -563,7 +564,7 @@ class MultiScaleMaskedTransformerDecoder(MultiScaleMaskedTransformerDecoderMaskD
             pre_norm=cfg.MODEL.MASK_FORMER.PRE_NORM,
             enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
             mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
-            dtype=__import__("mp_former_tpu.utils", fromlist=["compute_dtype"]).compute_dtype(cfg),
+            dtype=compute_dtype(cfg),
         )
 
 

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...utils.registry import TRANSFORMER_DECODER_REGISTRY
+from ...utils import compute_dtype
 from .position_encoding import position_embedding_sine
 from .primitives import MLP, MultiheadAttention
 
@@ -31,13 +32,15 @@ class _DETRDecoderLayer(nn.Module):
 
         def self_attend(x):
             qk = x + query_pos
-            return MultiheadAttention(self.d_model, self.nhead, dtype=self.dtype,
-                                      name="self_attn")(qk, qk, x)
+            return MultiheadAttention(self.d_model, self.nhead,
+                                      dropout=self.dropout, dtype=self.dtype,
+                                      name="self_attn")(qk, qk, x, train=train)
 
         def cross_attend(x):
-            return MultiheadAttention(self.d_model, self.nhead, dtype=self.dtype,
+            return MultiheadAttention(self.d_model, self.nhead,
+                                      dropout=self.dropout, dtype=self.dtype,
                                       name="multihead_attn")(
-                x + query_pos, memory + pos, memory)
+                x + query_pos, memory + pos, memory, train=train)
 
         def ffn(x):
             h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
@@ -90,6 +93,7 @@ class StandardTransformerDecoder(nn.Module):
             deep_supervision=cfg.MODEL.MASK_FORMER.DEEP_SUPERVISION,
             enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
             mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
+            dtype=compute_dtype(cfg),
         )
 
     @nn.compact

@@ -27,6 +27,7 @@ class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     fused: bool = False  # TPU.FUSED_MASKED_ATTN: pallas flash-style kernel
+    dropout: float = 0.0  # attention-probability dropout (torch semantics)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -36,6 +37,8 @@ class MultiheadAttention(nn.Module):
         key: jax.Array,      # (B, S, C)
         value: jax.Array,    # (B, S, C)
         attn_mask: Optional[jax.Array] = None,  # bool (B*H, Q, S) | (B, H, Q, S) | (Q, S); True=blocked
+        *,
+        train: bool = False,
     ) -> jax.Array:
         B, Q, C = query.shape
         S = key.shape[1]
@@ -70,6 +73,10 @@ class MultiheadAttention(nn.Module):
             if m is not None:
                 logits = jnp.where(m, _NEG_INF, logits)
             attn = jax.nn.softmax(logits, axis=-1)
+            if self.dropout > 0:
+                # torch nn.MultiheadAttention drops attention WEIGHTS
+                # (the fused kernel path has no dropout; it is eval-only)
+                attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
             out = jnp.einsum("bhqs,bhsd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Q, C)
         return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
@@ -91,8 +98,10 @@ class SelfAttentionLayer(nn.Module):
     def __call__(self, tgt, tgt_mask=None, query_pos=None, *, train: bool = False):
         def attend(x):
             qk = x if query_pos is None else x + query_pos
-            return MultiheadAttention(self.d_model, self.nhead, dtype=self.dtype,
-                                      name="self_attn")(qk, qk, x, attn_mask=tgt_mask)
+            return MultiheadAttention(self.d_model, self.nhead,
+                                      dropout=self.dropout, dtype=self.dtype,
+                                      name="self_attn")(qk, qk, x, attn_mask=tgt_mask,
+                                                        train=train)
 
         drop = nn.Dropout(self.dropout, deterministic=not train)
         if self.normalize_before:
@@ -118,8 +127,10 @@ class CrossAttentionLayer(nn.Module):
             q = x if query_pos is None else x + query_pos
             k = memory if pos is None else memory + pos
             return MultiheadAttention(self.d_model, self.nhead,
-                                      fused=self.fused_attn, dtype=self.dtype,
-                                      name="multihead_attn")(q, k, memory, attn_mask=memory_mask)
+                                      fused=self.fused_attn,
+                                      dropout=self.dropout, dtype=self.dtype,
+                                      name="multihead_attn")(q, k, memory, attn_mask=memory_mask,
+                                                             train=train)
 
         drop = nn.Dropout(self.dropout, deterministic=not train)
         if self.normalize_before:

@@ -165,3 +165,19 @@ def test_semseg_category_merges_confusion():
     res = ev.evaluate()["sem_seg"]
     assert res["IoU"] < 1e-6  # wall 0, fence 0 (fp only), rest nan
     assert abs(res["IoU_sup"] - 100.0) < 1e-6
+
+
+def test_instance_ap_artificial_start_point():
+    """The PR curve is anchored at (r=0, p=1.0) — the official
+    cityscapesscripts artificial point — so a top-scored false positive
+    does not erase the first trapezoid's area (regression)."""
+    from mp_former_tpu.evaluation.cityscapes_eval import _average_precision
+
+    # one FP at score .9, one TP at score .8, one GT
+    y_true = np.array([0.0, 1.0])
+    y_score = np.array([0.9, 0.8])
+    ap = _average_precision(y_true, y_score, hard_fns=0)
+    # curve: (0,1) -> (0, .0? ) points: after FP: r=0, p=0; after TP: r=1, p=.5
+    # trapezoids: (0->0)=0, (0->1): (0+... compute expected directly
+    # points r=[0,0,1], p=[1,0,.5] -> area = (0-0)*(1+0)/2 + (1-0)*(0+.5)/2
+    assert abs(ap - 0.25) < 1e-9, ap

@@ -133,3 +133,16 @@ def test_eval_canvas_bucketing():
     assert _quantized_canvas(800, 1063, 128) == (896, 1152)
     assert _quantized_canvas(768, 768, 128) == (768, 768)
     assert _quantized_canvas(1, 1, 32) == (32, 32)
+
+
+def test_semseg_ignore_pixels_do_not_inflate_union():
+    """Predictions over ignore-label GT pixels must not count into pos_pred
+    (d2 sums conf[:-1, :-1]); otherwise IoU deflates on any image with void
+    regions (regression)."""
+    ev = SemSegEvaluator(2, ignore_label=255)
+    gt = np.zeros((4, 4), np.int64)
+    gt[2:] = 255                       # bottom half ignored
+    pred = np.zeros((4, 4), np.int64)  # perfect on labeled, class 0 on void
+    ev.process(pred, gt)
+    r = ev.evaluate()["sem_seg"]
+    assert r["mIoU"] == 100.0, r
