@@ -99,7 +99,15 @@ class _BaseSemanticMapper:
 
     def _canvas(self, rec):
         d = self.size_div
-        return ((rec.out_h + d - 1) // d * d, (rec.out_w + d - 1) // d * d)
+        h = (rec.out_h + d - 1) // d * d
+        w = (rec.out_w + d - 1) // d * d
+        if self.is_train and self.crop_enabled and self.crop_type == "absolute":
+            # ONE static train canvas: multi-scale sampling makes the
+            # post-crop size vary (min(crop, scaled) per sample), and
+            # mixed-shape samples cannot share a batch np.stack / jit shape
+            h = max(h, (int(self.crop_size[0]) + d - 1) // d * d)
+            w = max(w, (int(self.crop_size[1]) + d - 1) // d * d)
+        return h, w
 
     def _load_image(self, path, rng):
         img = cv2.imread(path, cv2.IMREAD_COLOR)

@@ -57,22 +57,33 @@ class TrainLoader:
                 yield self.records[int(i)]
 
     def _produce(self):
+        try:
+            self._produce_loop()
+        except BaseException as e:  # surface in __next__, don't hang
+            self._q.put(e)
+
+    def _produce_loop(self):
         from concurrent.futures import ThreadPoolExecutor
 
         rng_master = np.random.RandomState(self.seed + 1)
         stream = self._sample_stream()
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending: List = []
+            # samples grouped by image shape (the analog of d2's
+            # aspect-ratio-grouped batching): mixed orientations / canvas
+            # sizes must not meet in one np.stack, and same-shape batches
+            # keep jit from recompiling
+            groups: Dict[tuple, List[Dict]] = {}
             while not self._stop.is_set():
                 while len(pending) < self.batch_size * 2:
                     rec = next(stream)
                     seed = int(rng_master.randint(0, 2 ** 31 - 1))
                     pending.append(pool.submit(
                         self.mapper, rec, np.random.RandomState(seed)))
-                batch: List[Dict] = []
+                ready: List[Dict] = []
                 rest: List = []
                 for f in pending:
-                    if len(batch) >= self.batch_size:
+                    if len(ready) >= self.batch_size:
                         rest.append(f)
                         continue
                     s = f.result()
@@ -80,16 +91,24 @@ class TrainLoader:
                         continue
                     if self.filter_empty and not s["valid"].any():
                         continue
-                    batch.append(s)
+                    ready.append(s)
                 pending = rest
-                if len(batch) == self.batch_size:
-                    self._q.put(self.collate(batch))
+                for s in ready:
+                    key = tuple(np.asarray(s["image"]).shape)
+                    groups.setdefault(key, []).append(s)
+                    if len(groups[key]) == self.batch_size:
+                        self._q.put(self.collate(groups.pop(key)))
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Batch:
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise RuntimeError(
+                "TrainLoader producer thread died (mapper/collate error)"
+            ) from item
+        return item
 
     def close(self):
         self._stop.set()

@@ -19,8 +19,9 @@ import jax.numpy as jnp
 import optax
 
 _NORM_TOKENS = ("frozen_bn", "_gn", "norm", "decoder_norm", "layernorm", "bn")
-_EMBED_TOKENS = ("query_feat", "level_embed", "label_enc", "embedding",
-                 "absolute_pos_embed", "relative_position_bias_table")
+_EMBED_TOKENS = ("query_feat", "query_embed", "level_embed", "label_enc",
+                 "embedding", "absolute_pos_embed",
+                 "relative_position_bias_table")
 
 
 def _path_tokens(path) -> list:

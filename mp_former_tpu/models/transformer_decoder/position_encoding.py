@@ -42,3 +42,33 @@ def position_embedding_sine(
     pos_y = np.stack([np.sin(pos_y[:, :, 0::2]), np.cos(pos_y[:, :, 1::2])], axis=3).reshape(h, w, -1)
     pos = np.concatenate([pos_y, pos_x], axis=2)
     return jnp.asarray(pos, dtype=dtype)
+
+
+def position_embedding_sine3d(
+    t: int,
+    h: int,
+    w: int,
+    num_pos_feats: int = 128,
+    temperature: int = 10000,
+    scale: float | None = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(T, H, W, 2*num_pos_feats) sine PE with a temporal term, batch-free
+    (reference mask2former_video position_encoding.PositionEmbeddingSine3D,
+    normalize=True as constructed at video decoder :280): channels are
+    cat(pos_y, pos_x) + pos_z, where pos_z sweeps a 2*num_pos_feats-wide
+    frequency ladder over the frame index."""
+    if scale is None:
+        scale = 2 * math.pi
+    z_embed = np.arange(1, t + 1, dtype=np.float32) / (t + 1e-6) * scale
+    dim_t_z = np.arange(2 * num_pos_feats, dtype=np.float32)
+    dim_t_z = temperature ** (2 * (dim_t_z // 2) / (2 * num_pos_feats))
+    pos_z = z_embed[:, None] / dim_t_z  # (T, 2F)
+    pos_z = np.stack(
+        [np.sin(pos_z[:, 0::2]), np.cos(pos_z[:, 1::2])], axis=2
+    ).reshape(t, -1)
+
+    pos_yx = np.asarray(position_embedding_sine(
+        h, w, num_pos_feats, temperature, True, scale, jnp.float32))
+    pos = pos_yx[None] + pos_z[:, None, None, :]
+    return jnp.asarray(pos, dtype=dtype)

@@ -98,4 +98,10 @@ def build_video_criterion(cfg) -> VideoSetCriterion:
         losses=["labels", "masks"],
         num_points=cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS,
         oversample_ratio=cfg.MODEL.MASK_FORMER.OVERSAMPLE_RATIO,
-        importance_sample_ratio=cfg.MODEL.MASK_FORMER.IMPORTANCE_SAMPLE_RATIO)
+        importance_sample_ratio=cfg.MODEL.MASK_FORMER.IMPORTANCE_SAMPLE_RATIO,
+        # compact the (B * MAX_INSTANCES * T) pair set to the static budget
+        # like the image path; the grid-mode loss is image-only (its ctx
+        # assumes 4D pred_masks), so video stays on the reference-exact
+        # random-point path
+        max_pairs=cfg.TPU.MAX_PAIRS,
+        point_sample_mode="random")

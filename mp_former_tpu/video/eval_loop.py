@@ -94,6 +94,7 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
     clips (None = no cap)."""
     evaluator = YTVISEvaluator(records)
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+    pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
 
     n = 0
     for rec in records:
@@ -101,16 +102,25 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
             break
         t = rec["length"] if max_frames is None else min(rec["length"], max_frames)
         h, w = rec["height"], rec["width"]
+        # shortest-edge resize with the long-side cap, preserving aspect
+        # (reference/d2 ResizeShortestEdge) — then mean-pad to /32, like the
+        # image EvalMapper (stretching to /32 distorted aspect up to ~9%)
         scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
-        nh = (int(h * scale + 0.5) + 31) // 32 * 32
-        nw = (int(w * scale + 0.5) + 31) // 32 * 32
+        if max(h, w) * scale > cfg.INPUT.MAX_SIZE_TEST:
+            scale = cfg.INPUT.MAX_SIZE_TEST / max(h, w)
+        rh, rw = int(h * scale + 0.5), int(w * scale + 0.5)
+        nh = (rh + 31) // 32 * 32
+        nw = (rw + 31) // 32 * 32
         frames = []
         for fi in range(t):
             img = cv2.imread(rec["file_names"][fi], cv2.IMREAD_COLOR)
             if img is None:
                 break
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            frames.append(cv2.resize(img, (nw, nh)))
+            canvas = np.broadcast_to(
+                pixel_mean, (nh, nw, 3)).astype(np.float32).copy()
+            canvas[:rh, :rw] = cv2.resize(img, (rw, rh))
+            frames.append(canvas)
         if len(frames) < t:
             continue
         t_pad = t_bucket(t)
@@ -122,7 +132,7 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
         logits, masks = fwd(params, clip, frame_valid)
         scores, classes, tubes = inference_video(
             np.asarray(logits[0]), masks[0, :, :t],
-            (nh, nw), h, w, num_classes)
+            (rh, rw), h, w, num_classes)
         evaluator.process(rec["video_id"], scores, classes,
                           [tubes[i] for i in range(tubes.shape[0])])
         n += 1

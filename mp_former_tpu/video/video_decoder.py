@@ -9,17 +9,41 @@ embedding is kept (:323).
 
 from __future__ import annotations
 
+import math
 from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..models.transformer_decoder.position_encoding import position_embedding_sine
 from ..models.transformer_decoder.primitives import (
     CrossAttentionLayer, FFNLayer, MLP, SelfAttentionLayer)
+from ..utils import compute_dtype
 from ..utils.interp import resize
 from ..utils.registry import TRANSFORMER_DECODER_REGISTRY
+
+
+def _temporal_pos(frame_valid, b: int, t: int, c: int, dtype) -> jax.Array:
+    """(B, T, C) temporal term of the reference PositionEmbeddingSine3D
+    (video position_encoding.py:35-57: z_embed = not_mask.cumsum over T,
+    normalized by its last value, swept over a C-wide frequency ladder).
+    Computed from frame_valid so a padded clip's REAL frames get exactly
+    the unpadded clip's embeddings (normalization by the valid count, which
+    is what the reference's cumsum-over-not-mask does)."""
+    if frame_valid is None:
+        nm = jnp.ones((b, t), jnp.float32)
+    else:
+        nm = jnp.broadcast_to(frame_valid, (b, t)).astype(jnp.float32)
+    z = jnp.cumsum(nm, axis=1)
+    z = z / (z[:, -1:] + 1e-6) * (2 * math.pi)
+    dim_t_z = np.arange(c, dtype=np.float32)
+    dim_t_z = 10000.0 ** (2 * (dim_t_z // 2) / c)
+    pz = z[:, :, None] / dim_t_z
+    pz = jnp.stack([jnp.sin(pz[:, :, 0::2]), jnp.cos(pz[:, :, 1::2])],
+                   axis=3).reshape(b, t, -1)
+    return pz.astype(dtype)
 
 
 @TRANSFORMER_DECODER_REGISTRY.register()
@@ -54,6 +78,7 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
             enforce_input_project=cfg.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ,
             mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
             num_frames=cfg.INPUT.SAMPLING_FRAME_NUM,
+            dtype=compute_dtype(cfg),
         )
 
     @nn.compact
@@ -64,10 +89,11 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
         frame_valid (B, T) bool: tokens of padding frames are blocked in
         every cross-attention, making the padded forward EXACTLY equal to
         the unpadded T'-frame forward at the real frames (softmax over a
-        masked superset == softmax over the subset; positional embeddings
-        here carry no temporal term). Only a fully-degenerate query row
-        (every real token blocked) deviates: the reference's all-True reset
-        (video decoder :  degenerate-row rule) reopens padding tokens too."""
+        masked superset == softmax over the subset; the temporal sine PE is
+        normalized by the VALID frame count, so real frames keep their
+        unpadded embeddings). Only a fully-degenerate query row (every real
+        token blocked) deviates: the reference's all-True reset reopens
+        padding tokens too."""
         t = self.num_frames
         bt = x[0].shape[0]
         b = bt // t
@@ -88,6 +114,10 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
         class_embed = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="class_embed")
         mask_embed_mlp = MLP(C, self.mask_dim, 3, dtype=self.dtype, name="mask_embed")
 
+        # 3D sine PE (reference PositionEmbeddingSine3D, video decoder :280):
+        # spatial cat(pos_y, pos_x) per level + one temporal term shared by
+        # all levels
+        pos_z = _temporal_pos(frame_valid, b, t, C, self.dtype)  # (B, T, C)
         src, pos, size_list = [], [], []
         for i, xi in enumerate(x):
             h, w = xi.shape[1], xi.shape[2]
@@ -99,7 +129,7 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
                             kernel_init=nn.initializers.xavier_uniform(),
                             name=f"input_proj_{i}")(s)
             s = s.reshape(b, t * h * w, C) + level_embed[i][None, None]
-            p = jnp.broadcast_to(pe.reshape(1, 1, h * w, C), (b, t, h * w, C))
+            p = pe.reshape(1, 1, h * w, C) + pos_z[:, :, None, :]
             src.append(s)
             pos.append(p.reshape(b, t * h * w, C))
 

@@ -75,16 +75,43 @@ def register_all_ytvis(root: Optional[str] = None):
                 name, os.path.join(root, json_rel), os.path.join(root, img_rel))
 
 
+def _decode_compressed_counts(s) -> List[int]:
+    """pycocotools rleFrString: 6-bit chunks (ASCII offset 48), sign
+    extension on the 0x10 bit, counts delta-coded against counts[i-2]
+    from the 4th element on."""
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    counts: List[int] = []
+    p = 0
+    while p < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = s[p] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
 def _seg_to_mask(seg, h, w) -> Optional[np.ndarray]:
     if seg is None:
         return None
     if isinstance(seg, list):
         return polygons_to_bitmask([np.asarray(p) for p in seg], h, w)
-    if isinstance(seg, dict) and isinstance(seg.get("counts"), list):
+    if isinstance(seg, dict) and seg.get("counts") is not None:
+        counts = seg["counts"]
+        if isinstance(counts, (str, bytes)):  # compressed RLE
+            counts = _decode_compressed_counts(counts)
         mh, mw = seg["size"]
         flat = np.zeros(mh * mw, np.uint8)
         pos, val = 0, 0
-        for c in seg["counts"]:
+        for c in counts:
             flat[pos:pos + c] = val
             pos += c
             val = 1 - val
@@ -111,6 +138,8 @@ class YTVISDatasetMapper:
         lo = max(0, ref - self.frame_range)
         hi = min(length, ref + self.frame_range + 1)
         pool = [i for i in range(lo, hi) if i != ref]
+        if not pool:  # length-1 video: duplicate the only frame
+            pool = [ref]
         picks = sorted([ref] + list(rng.choice(
             pool, self.num_frames - 1, replace=len(pool) < self.num_frames - 1)))
         if self.shuffle:

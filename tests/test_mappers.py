@@ -118,3 +118,40 @@ def test_strided_gt_keeps_thin_structures(tmp_path):
                np.random.RandomState(0))
     got = set(s["labels"][s["valid"]].tolist())
     assert 7 in got, got
+
+
+def test_train_loader_surfaces_mapper_errors():
+    """A mapper exception must raise in __next__, not hang the consumer."""
+    import pytest
+
+    from mp_former_tpu.data.loader import TrainLoader
+
+    def bad_mapper(rec, rng):
+        raise ValueError("boom")
+
+    loader = TrainLoader([{"id": 1}], bad_mapper, batch_size=1, num_workers=1)
+    with pytest.raises(RuntimeError, match="producer thread died"):
+        next(loader)
+    loader.close()
+
+
+def test_train_loader_groups_by_shape():
+    """Mixed-shape samples (e.g. landscape/portrait canvases) batch only
+    with same-shape peers (the analog of d2 aspect-ratio grouping)."""
+    from mp_former_tpu.data.loader import TrainLoader
+
+    def mapper(rec, rng):
+        s = rec["shape"]
+        return {"image": np.zeros(s, np.float32),
+                "labels": np.zeros(2, np.int32),
+                "masks": np.zeros((2, 4, 4), bool),
+                "boxes": np.zeros((2, 4), np.float32),
+                "valid": np.ones(2, bool)}
+
+    records = [{"shape": (8, 16, 3)}, {"shape": (16, 8, 3)}] * 4
+    loader = TrainLoader(records, mapper, batch_size=2, num_workers=1,
+                         filter_empty=False)
+    for _ in range(4):
+        b = next(loader)
+        assert b.images.shape[1:] in ((8, 16, 3), (16, 8, 3))
+    loader.close()

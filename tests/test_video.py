@@ -205,3 +205,78 @@ def test_video_matcher_invalid_columns_use_ceiling():
     cost = np.asarray(matcher.cost(logits, masks, targets, jax.random.PRNGKey(0)))
     real_max = cost[:, :, :2].max()
     np.testing.assert_allclose(cost[:, :, 2:], real_max + 1.0, rtol=1e-5)
+
+
+def test_compressed_rle_decode_roundtrip():
+    """_seg_to_mask decodes compressed-string RLE counts (pycocotools
+    rleFrString semantics); encoder here mirrors rleToString."""
+    from mp_former_tpu.video.ytvis import _seg_to_mask
+
+    def encode_counts(cnts):
+        s = bytearray()
+        for i, x in enumerate(cnts):
+            if i > 2:
+                x -= cnts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = (x != -1) if (c & 0x10) else (x != 0)
+                if more:
+                    c |= 0x20
+                s.append(c + 48)
+        return bytes(s).decode("ascii")
+
+    rng = np.random.RandomState(0)
+    h, w = 23, 31
+    m = rng.rand(h, w) > 0.6
+    # column-major run lengths starting with a (possibly 0) run of 0s
+    flat = m.T.reshape(-1).astype(np.uint8)
+    counts, val, run = [], 0, 0
+    for v in flat:
+        if v == val:
+            run += 1
+        else:
+            counts.append(run)
+            val, run = v, 1
+    counts.append(run)
+    seg = {"size": [h, w], "counts": encode_counts(counts)}
+    got = _seg_to_mask(seg, h, w)
+    np.testing.assert_array_equal(got, m)
+
+
+def test_position_embedding_sine3d_matches_torch():
+    """3D sine PE vs the reference PositionEmbeddingSine3D math
+    (mask2former_video position_encoding.py:29-57, normalize=True)."""
+    import math
+
+    import torch
+
+    from mp_former_tpu.models.transformer_decoder.position_encoding import (
+        position_embedding_sine3d)
+
+    t, h, w, f = 3, 5, 7, 16
+    scale = 2 * math.pi
+    mask = torch.zeros((1, t, h, w), dtype=torch.bool)
+    not_mask = ~mask
+    z = not_mask.cumsum(1, dtype=torch.float32)
+    y = not_mask.cumsum(2, dtype=torch.float32)
+    x = not_mask.cumsum(3, dtype=torch.float32)
+    eps = 1e-6
+    z = z / (z[:, -1:, :, :] + eps) * scale
+    y = y / (y[:, :, -1:, :] + eps) * scale
+    x = x / (x[:, :, :, -1:] + eps) * scale
+    dim_t = torch.arange(f, dtype=torch.float32)
+    dim_t = 10000 ** (2 * (dim_t // 2) / f)
+    dim_tz = torch.arange(2 * f, dtype=torch.float32)
+    dim_tz = 10000 ** (2 * (dim_tz // 2) / (2 * f))
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    pz = z[..., None] / dim_tz
+    px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), dim=5).flatten(4)
+    py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), dim=5).flatten(4)
+    pz = torch.stack((pz[..., 0::2].sin(), pz[..., 1::2].cos()), dim=5).flatten(4)
+    want = (torch.cat((py, px), dim=4) + pz).numpy()[0]  # (T, H, W, C)
+
+    got = np.asarray(position_embedding_sine3d(t, h, w, f))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
