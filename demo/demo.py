@@ -89,10 +89,11 @@ def main():
                 continue
             predictions, vis = demo.run_on_image(img)
             base = os.path.join(args.output, os.path.basename(path))
+            stem, ext = os.path.splitext(base)
             if "instances" in predictions:
-                cv2.imwrite(base.replace(".", "_instance.", 1), vis)
+                cv2.imwrite(f"{stem}_instance{ext}", vis)
             if "sem_seg" in predictions:
-                cv2.imwrite(base.replace(".", "_semantic.", 1),
+                cv2.imwrite(f"{stem}_semantic{ext}",
                             overlay_semantic(img, predictions["sem_seg"]))
             print(f"wrote visualizations for {path}")
     else:

@@ -49,21 +49,18 @@ class Predictor:
                 self.cfg.MODEL.WEIGHTS, self.params["params"])}
 
     def __call__(self, image_bgr: np.ndarray) -> dict:
-        import cv2
         import jax.numpy as jnp
 
-        from mp_former_tpu.engine.eval_loop import postprocess_instance
-        from mp_former_tpu.inference import semantic_inference
-        from mp_former_tpu.utils.interp import resize as jresize
+        from mp_former_tpu.engine.eval_loop import (postprocess_instance,
+                                                    postprocess_semantic,
+                                                    preprocess_image)
 
         cfg = self.cfg
         h, w = image_bgr.shape[:2]
-        scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
-        nh = int(h * scale + 0.5 + 31) // 32 * 32
-        nw = int(w * scale + 0.5 + 31) // 32 * 32
-        resized = cv2.resize(
-            cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB), (nw, nh))
-        batch = jnp.asarray(resized[None].astype(np.float32))
+        # shared eval preprocessing: shortest-edge + MAX_SIZE_TEST cap,
+        # INPUT.FORMAT channel order, mean padding to /32
+        canvas, image_size = preprocess_image(cfg, image_bgr)
+        batch = jnp.asarray(canvas[None])
         self._lazy_init(batch)
         out = self._fwd(self.params, batch)
         logits = np.asarray(out["pred_logits"][0])
@@ -71,15 +68,14 @@ class Predictor:
         res = {}
         if cfg.MODEL.MASK_FORMER.TEST.INSTANCE_ON:
             scores, classes, bin_masks = postprocess_instance(
-                logits, masks, (nh, nw), h, w,
+                logits, masks, image_size, h, w,
                 cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
                 cfg.TEST.DETECTIONS_PER_IMAGE)
             res["instances"] = {
                 "scores": scores, "classes": classes, "masks": bin_masks}
         if cfg.MODEL.MASK_FORMER.TEST.SEMANTIC_ON:
-            m = jresize(jnp.asarray(masks), (h, w), "bilinear")
-            res["sem_seg"] = np.asarray(
-                semantic_inference(jnp.asarray(logits), m))
+            res["sem_seg"] = np.asarray(postprocess_semantic(
+                logits, masks, image_size, h, w))
         return res
 
 
@@ -96,7 +92,8 @@ class AsyncPredictor:
         self.predictor = Predictor(cfg)
         self._tasks: "queue.Queue" = queue.Queue(maxsize=max(num_workers, 1) * 3)
         self._results: "queue.Queue" = queue.Queue()
-        self._pending = 0
+        self._submitted = 0
+        self._returned = 0
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -112,17 +109,19 @@ class AsyncPredictor:
                 self._results.put((idx, e))
 
     def put(self, image_bgr: np.ndarray):
-        self._tasks.put((self._pending, image_bgr))
-        self._pending += 1
+        self._tasks.put((self._submitted, image_bgr))
+        self._submitted += 1
 
     def get(self):
         idx, res = self._results.get()
+        self._returned += 1
         if isinstance(res, Exception):
             raise res
         return res
 
     def __len__(self):
-        return self._pending
+        """In-flight frames (submitted, not yet returned)."""
+        return self._submitted - self._returned
 
     def shutdown(self):
         self._tasks.put(self._STOP)
@@ -178,14 +177,37 @@ class VisualizationDemo:
         return predictions, self.draw(image_bgr, predictions, class_names)
 
     def run_on_video(self, video_capture, class_names=None, max_frames=None):
-        """Generator of (predictions, vis_frame); pipelined when parallel."""
-        i = 0
-        while video_capture.isOpened():
-            if max_frames is not None and i >= max_frames:
-                break
-            ok, frame = video_capture.read()
-            if not ok:
-                break
-            predictions = self.predictor(frame)
-            yield predictions, self.draw(frame, predictions, class_names)
-            i += 1
+        """Generator of (predictions, vis_frame); pipelined when parallel
+        (reference run_on_video keeps a put-ahead buffer of in-flight
+        frames — calling AsyncPredictor like a function would serialize)."""
+        import collections
+
+        def frames():
+            i = 0
+            while video_capture.isOpened():
+                if max_frames is not None and i >= max_frames:
+                    break
+                ok, frame = video_capture.read()
+                if not ok:
+                    break
+                yield frame
+                i += 1
+
+        if isinstance(self.predictor, AsyncPredictor):
+            buffer_size = 5
+            inflight = collections.deque()
+            for frame in frames():
+                inflight.append(frame)
+                self.predictor.put(frame)
+                if len(inflight) >= buffer_size:
+                    f = inflight.popleft()
+                    predictions = self.predictor.get()
+                    yield predictions, self.draw(f, predictions, class_names)
+            while inflight:
+                f = inflight.popleft()
+                predictions = self.predictor.get()
+                yield predictions, self.draw(f, predictions, class_names)
+        else:
+            for frame in frames():
+                predictions = self.predictor(frame)
+                yield predictions, self.draw(frame, predictions, class_names)

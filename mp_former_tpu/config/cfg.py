@@ -126,27 +126,35 @@ class CfgNode(dict):
         return self.dump()
 
 
-def _decode_value(v: Any, old: Any) -> Any:
-    """Parse a string value (yacs semantics: try python literal first)."""
-    if not isinstance(v, str):
-        return v
-    import ast
-
-    try:
-        parsed = ast.literal_eval(v)
-    except (ValueError, SyntaxError):
-        try:
-            parsed = yaml.safe_load(v)
-        except yaml.YAMLError:
-            parsed = v
+def _coerce_to_old_type(parsed: Any, old: Any, raw: Any) -> Any:
+    """yacs-style type reconciliation against the existing value."""
     if old is not None and parsed is not None:
         if isinstance(old, tuple) and isinstance(parsed, list):
             parsed = tuple(parsed)
+        elif isinstance(old, str) and not isinstance(parsed, str) \
+                and isinstance(raw, str):
+            # string key: keep the raw CLI string ('2024' stays '2024')
+            parsed = raw
         elif isinstance(old, bool) and isinstance(parsed, int) and not isinstance(parsed, bool):
             parsed = bool(parsed)
         elif isinstance(old, float) and isinstance(parsed, int):
             parsed = float(parsed)
     return parsed
+
+
+def _decode_value(v: Any, old: Any) -> Any:
+    """Parse a CLI string value (yacs _decode_cfg_value: python literal or
+    the raw string — no yaml re-parse, which would corrupt 'no'/'on'/dates).
+    YAML-file values are already typed and must NOT pass through this."""
+    if not isinstance(v, str):
+        return _coerce_to_old_type(v, old, v)
+    import ast
+
+    try:
+        parsed = ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        parsed = v
+    return _coerce_to_old_type(parsed, old, v)
 
 
 def _merge_a_into_b(a: CfgNode, b: CfgNode) -> None:
@@ -157,10 +165,11 @@ def _merge_a_into_b(a: CfgNode, b: CfgNode) -> None:
             if isinstance(v_a, (dict, CfgNode)):
                 v_a = CfgNode(dict(v_a))
             old = b.get(k, None)
-            if isinstance(v_a, str):
+            # yacs decodes file values with literal_eval too (yaml parses
+            # d2-style "(640, 672)" tuples as strings); _decode_value keeps
+            # raw strings for string keys and never yaml-re-parses
+            if not isinstance(v_a, (dict, CfgNode)):
                 v_a = _decode_value(v_a, old)
-            if old is not None and isinstance(old, tuple) and isinstance(v_a, list):
-                v_a = tuple(v_a)
             b[k] = copy.deepcopy(v_a)
 
 

@@ -74,6 +74,9 @@ def swin_params_from_torch(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[
             "scale": sd[f"{prefix}patch_embed.norm.weight"],
             "bias": sd[f"{prefix}patch_embed.norm.bias"],
         }
+    if f"{prefix}absolute_pos_embed" in sd:  # APE checkpoints (1, C, H, W)
+        p["absolute_pos_embed"] = np.transpose(
+            sd[f"{prefix}absolute_pos_embed"], (0, 2, 3, 1))
     # stages
     i = 0
     while f"{prefix}layers.{i}.blocks.0.norm1.weight" in sd:

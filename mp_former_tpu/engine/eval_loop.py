@@ -47,6 +47,28 @@ def _quantized_canvas(out_h: int, out_w: int, step: int):
     return qup(out_h), qup(out_w)
 
 
+def preprocess_image(cfg, image_bgr: np.ndarray):
+    """One decoded BGR frame -> (padded float32 canvas in cfg.INPUT.FORMAT
+    channel order, resized (h, w) before padding). Shortest-edge resize
+    with the MAX_SIZE_TEST long-side cap + mean padding to /32 — the same
+    semantics as EvalMapper, shared by the demo/predict pipelines so their
+    preprocessing cannot drift from the evaluator's."""
+    import cv2
+
+    h, w = image_bgr.shape[:2]
+    img = image_bgr if cfg.INPUT.FORMAT == "BGR" else cv2.cvtColor(
+        image_bgr, cv2.COLOR_BGR2RGB)
+    scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
+    if max(h, w) * scale > cfg.INPUT.MAX_SIZE_TEST:
+        scale = cfg.INPUT.MAX_SIZE_TEST / max(h, w)
+    rh, rw = int(h * scale + 0.5), int(w * scale + 0.5)
+    nh, nw = (rh + 31) // 32 * 32, (rw + 31) // 32 * 32
+    canvas = np.broadcast_to(
+        np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32), (nh, nw, 3)).copy()
+    canvas[:rh, :rw] = cv2.resize(img, (rw, rh))
+    return canvas, (rh, rw)
+
+
 class EvalMapper:
     """ResizeShortestEdge(MIN_SIZE_TEST, MAX_SIZE_TEST) + static padding.
 

@@ -148,4 +148,23 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
     # FrozenBN stats have no torch counterpart params — never update
     chain.append(optax.masked(
         optax.scale(0.0), _mask(params, is_frozen_param)))
+    # MODEL.BACKBONE.FREEZE_AT (d2 semantics: 1 = stem, 2 = stem+res2, ...;
+    # d2 sets requires_grad=False — here the update is zeroed instead)
+    freeze_at = cfg.MODEL.BACKBONE.FREEZE_AT
+    if freeze_at > 0:
+        def frozen_by_stage(path) -> bool:
+            toks = [str(t) for t in _path_tokens(path)]
+            if not toks or toks[0] != "backbone" or len(toks) < 2:
+                return False
+            name = toks[1]
+            if name.startswith(("stem_", "patch_embed", "absolute_pos_embed")):
+                return True
+            for s in range(2, 6):
+                if freeze_at >= s and (name.startswith(f"res{s}_")
+                                       or name.startswith(f"layers_{s - 2}_")):
+                    return True
+            return False
+
+        chain.append(optax.masked(
+            optax.scale(0.0), _mask(params, frozen_by_stage)))
     return optax.chain(*chain)

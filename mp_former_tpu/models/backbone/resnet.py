@@ -41,7 +41,7 @@ class FrozenBN(nn.Module):
 
 
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
-          name: str = None, dtype=None):
+          name: str = None, dtype=None, groups: int = 1):
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -49,6 +49,7 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
         strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
         use_bias=False,
         dtype=dtype,
         name=name,
@@ -64,6 +65,7 @@ class BottleneckBlock(nn.Module):
     stride_in_1x1: bool = False
     dilation: int = 1
     has_shortcut: bool = False
+    num_groups: int = 1  # ResNeXt grouped 3x3 (d2 BottleneckBlock num_groups)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,7 +76,9 @@ class BottleneckBlock(nn.Module):
         out = _conv(self.bottleneck_channels, 1, stride_1x1, name="conv1", dtype=self.dtype)(x)
         out = FrozenBN(self.bottleneck_channels, name="conv1_frozen_bn")(out)
         out = nn.relu(out)
-        out = _conv(self.bottleneck_channels, 3, stride_3x3, self.dilation, name="conv2", dtype=self.dtype)(out)
+        out = _conv(self.bottleneck_channels, 3, stride_3x3, self.dilation,
+                    name="conv2", dtype=self.dtype,
+                    groups=self.num_groups)(out)
         out = FrozenBN(self.bottleneck_channels, name="conv2_frozen_bn")(out)
         out = nn.relu(out)
         out = _conv(self.out_channels, 1, name="conv3", dtype=self.dtype)(out)
@@ -131,6 +135,7 @@ class ResNet(nn.Module):
                     stride_in_1x1=self.stride_in_1x1,
                     dilation=dilation,
                     has_shortcut=(block_idx == 0 and (in_ch != out_ch or stride != 1)),
+                    num_groups=self.num_groups,
                     dtype=self.dtype,
                     name=f"{name}_{block_idx}",
                 )(out)

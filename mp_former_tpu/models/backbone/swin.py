@@ -193,6 +193,7 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.3
     patch_norm: bool = True
     ape: bool = False
+    pretrain_img_size: int = 224  # APE param grid = pretrain/patch (d2 :567)
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     frozen_stages: int = -1
     use_checkpoint: bool = False  # reference SWIN.USE_CHECKPOINT -> nn.remat
@@ -211,6 +212,16 @@ class SwinTransformer(nn.Module):
         x = x.reshape(b, wh * ww, c)
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(x)
+        if self.ape:
+            # absolute position embedding on the pretrain patch grid,
+            # bicubic-resized to the actual grid (reference swin.py:567-661)
+            g = self.pretrain_img_size // self.patch_size
+            ape = self.param(
+                "absolute_pos_embed",
+                nn.initializers.truncated_normal(0.02), (1, g, g, c))
+            ape = jax.image.resize(
+                ape, (1, wh, ww, c), method="cubic").astype(x.dtype)
+            x = x + ape.reshape(1, wh * ww, c)
 
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         outs: Dict[str, jax.Array] = {}

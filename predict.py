@@ -41,12 +41,12 @@ class Predictor:
 
     def predict(self, image_bgr: np.ndarray):
         jnp, jax = self._jnp, self._jax
-        h, w = image_bgr.shape[:2]
-        scale = self.cfg.INPUT.MIN_SIZE_TEST / min(h, w)
-        nh = (int(h * scale + 0.5) + 31) // 32 * 32
-        nw = (int(w * scale + 0.5) + 31) // 32 * 32
-        rgb = cv2.resize(cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB), (nw, nh))
-        batch = jnp.asarray(rgb[None].astype(np.float32))
+        from mp_former_tpu.engine.eval_loop import preprocess_image
+
+        # shared eval preprocessing (shortest-edge + MAX_SIZE_TEST cap,
+        # INPUT.FORMAT channel order, mean padding to /32)
+        canvas, image_size = preprocess_image(self.cfg, image_bgr)
+        batch = jnp.asarray(canvas[None])
         if self._params is None:
             self._params = self.model.init(
                 {"params": jax.random.PRNGKey(0)}, batch, None, train=False)
@@ -57,7 +57,7 @@ class Predictor:
                     self._weights, self._params["params"])}
         out = self._fwd(self._params, batch)
         return (np.asarray(out["pred_logits"][0]),
-                np.asarray(out["pred_masks"][0]), (nh, nw))
+                np.asarray(out["pred_masks"][0]), image_size)
 
 
 def main():

@@ -184,3 +184,29 @@ def test_swin_output_shape_metadata():
     shapes = m.output_shape()
     assert shapes["res2"].channels == 96 and shapes["res2"].stride == 4
     assert shapes["res5"].channels == 768 and shapes["res5"].stride == 32
+
+
+def test_swin_ape_param_and_converter():
+    """MODEL.SWIN.APE creates the absolute position embedding (resized to
+    the live grid, reference swin.py:567-661) and the converter maps the
+    torch (1, C, H, W) tensor."""
+    import jax
+
+    from mp_former_tpu.engine.convert import swin_params_from_torch
+    from mp_former_tpu.models.backbone.swin import SwinTransformer
+
+    m = SwinTransformer(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                        window_size=4, ape=True, pretrain_img_size=32,
+                        patch_size=4, drop_path_rate=0.0,
+                        out_features=("res2", "res3"))
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ape = p["params"]["absolute_pos_embed"]
+    assert ape.shape == (1, 8, 8, 8)  # (1, 32/4, 32/4, embed_dim)
+    out = m.apply(p, jnp.zeros((1, 64, 64, 3)))
+    assert out["res2"].shape == (1, 16, 16, 8)
+
+    sd = {"absolute_pos_embed": np.zeros((1, 8, 5, 7), np.float32),
+          "patch_embed.proj.weight": np.zeros((8, 3, 4, 4), np.float32),
+          "patch_embed.proj.bias": np.zeros((8,), np.float32)}
+    conv = swin_params_from_torch(sd)
+    assert conv["absolute_pos_embed"].shape == (1, 5, 7, 8)

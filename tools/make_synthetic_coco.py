@@ -77,11 +77,13 @@ def main():
                 pts = np.asarray(box, np.float64)
             pts[:, 0] = np.clip(pts[:, 0], 0, s - 1)
             pts[:, 1] = np.clip(pts[:, 1], 0, s - 1)
-            cv2.fillPoly(img, [pts.astype(np.int32)], col)
             x0, y0 = pts.min(0)
             x1, y1 = pts.max(0)
             if (x1 - x0) < 4 or (y1 - y0) < 4:
+                # check BEFORE painting: a painted-but-unannotated object
+                # would be GT noise (visible shape labeled background)
                 continue
+            cv2.fillPoly(img, [pts.astype(np.int32)], col)
             mask = np.zeros((s, s), np.uint8)
             cv2.fillPoly(mask, [pts.astype(np.int32)], 1)
             annotations.append({
