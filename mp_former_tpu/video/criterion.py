@@ -14,10 +14,9 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..models.criterion import SetCriterion, sample_mask_points
+from ..models.criterion import SetCriterion
 from ..models.matcher import (HungarianMatcher, batch_dice_cost,
-                              batch_sigmoid_ce_cost, fill_invalid_columns,
-                              hungarian_assign)
+                              batch_sigmoid_ce_cost, fill_invalid_columns)
 from ..structures import Targets
 from ..utils.interp import point_sample
 from .video_maskformer import VideoTargets

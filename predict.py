@@ -8,7 +8,6 @@ Usage: python predict.py --image input.jpg --config-file <yaml> \
 
 import argparse
 import os
-import sys
 
 import cv2
 import numpy as np
