@@ -168,3 +168,31 @@ def test_value_mapping_transposes():
         w[:256].T)
     # static_query shim
     assert "query_feat" in converted["sem_seg_head"]["predictor"]
+
+
+def test_load_state_dict_bf16_tensors(tmp_path):
+    """torch raises TypeError (not AttributeError) for bfloat16 .numpy();
+    the loader must convert via float() instead of crashing."""
+    import torch
+
+    from mp_former_tpu.engine.checkpoint_import import load_state_dict
+
+    sd = {"w": torch.ones(3, 4, dtype=torch.bfloat16),
+          "b": torch.zeros(4)}
+    p = str(tmp_path / "bf16.pth")
+    torch.save(sd, p)
+    out = load_state_dict(p)
+    assert out["w"].shape == (3, 4)
+    np.testing.assert_allclose(out["w"], 1.0)
+
+
+def test_load_reference_weights_bogus_directory(tmp_path):
+    """A directory that is not an Orbax checkpoint warns and keeps the fresh
+    init instead of IsADirectoryError from torch.load."""
+    import jax.numpy as jnp
+
+    from mp_former_tpu.engine.checkpoint_import import load_reference_weights
+
+    template = {"w": jnp.ones((2,))}
+    out = load_reference_weights(str(tmp_path), template)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
