@@ -42,12 +42,20 @@ def main():
     p.add_argument("--classes", type=int, default=20)
     p.add_argument("--split", default="train2017")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--panoptic", action="store_true",
+                   help="also write panoptic_{split}/ id PNGs + json "
+                        "(things = the shape classes, one 'background' "
+                        "stuff class)")
     args = p.parse_args()
 
     img_dir = os.path.join(args.root, "coco", args.split)
     ann_dir = os.path.join(args.root, "coco", "annotations")
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)
+    pan_dir = os.path.join(args.root, "coco", f"panoptic_{args.split}")
+    if args.panoptic:
+        os.makedirs(pan_dir, exist_ok=True)
+    pan_annotations = []
 
     rng = np.random.RandomState(args.seed)
     s = args.size
@@ -59,6 +67,11 @@ def main():
         bg = cv2.resize((noise * 80 + 40).astype(np.uint8), (s, s),
                         interpolation=cv2.INTER_CUBIC)
         img = bg.copy()
+        # panoptic id map: segment id encoded as R + 256G + 65536B; the
+        # whole background is one stuff segment (id 1)
+        pan_ids = np.ones((s, s), np.int64)
+        segments_info = [None]  # placeholder; filled after objects painted
+        next_sid = 2
         n_obj = rng.randint(3, 9)
         for _ in range(n_obj):
             c = int(rng.randint(args.classes))
@@ -86,6 +99,15 @@ def main():
             cv2.fillPoly(img, [pts.astype(np.int32)], col)
             mask = np.zeros((s, s), np.uint8)
             cv2.fillPoly(mask, [pts.astype(np.int32)], 1)
+            if args.panoptic:
+                pan_ids[mask.astype(bool)] = next_sid
+                segments_info.append({
+                    "id": next_sid, "category_id": c + 1, "iscrowd": 0,
+                    "area": float(mask.sum()),
+                    "bbox": [float(x0), float(y0),
+                             float(x1 - x0), float(y1 - y0)],
+                })
+                next_sid += 1
             annotations.append({
                 "id": aid, "image_id": i + 1, "category_id": c + 1,
                 "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
@@ -96,6 +118,29 @@ def main():
         fn = f"{i + 1:012d}.jpg"
         cv2.imwrite(os.path.join(img_dir, fn), img)
         images.append({"id": i + 1, "file_name": fn, "height": s, "width": s})
+        if args.panoptic:
+            # recompute per-segment areas after occlusion by later objects
+            segs = []
+            ids, counts = np.unique(pan_ids, return_counts=True)
+            area_of = dict(zip(ids.tolist(), counts.tolist()))
+            bg_cat = args.classes + 1  # the one stuff class
+            segs.append({"id": 1, "category_id": bg_cat, "iscrowd": 0,
+                         "area": float(area_of.get(1, 0)),
+                         "bbox": [0.0, 0.0, float(s), float(s)]})
+            for si in segments_info[1:]:
+                if area_of.get(si["id"], 0) == 0:
+                    continue  # fully occluded
+                si = dict(si, area=float(area_of[si["id"]]))
+                segs.append(si)
+            png = np.zeros((s, s, 3), np.uint8)
+            png[:, :, 0] = pan_ids % 256          # R (rgb2id order)
+            png[:, :, 1] = (pan_ids // 256) % 256
+            png[:, :, 2] = pan_ids // 65536
+            pfn = f"{i + 1:012d}.png"
+            cv2.imwrite(os.path.join(pan_dir, pfn), png[:, :, ::-1])  # BGR
+            pan_annotations.append({
+                "image_id": i + 1, "file_name": pfn,
+                "segments_info": segs})
 
     data = {
         "images": images,
@@ -108,6 +153,20 @@ def main():
     with open(out, "w") as f:
         json.dump(data, f)
     print(f"{len(images)} images, {len(annotations)} annotations -> {out}")
+
+    if args.panoptic:
+        pan = {
+            "images": images,
+            "annotations": pan_annotations,
+            "categories": [
+                {"id": c + 1, "name": f"shape-{c}", "isthing": 1}
+                for c in range(args.classes)
+            ] + [{"id": args.classes + 1, "name": "background", "isthing": 0}],
+        }
+        pout = os.path.join(ann_dir, f"panoptic_{args.split}.json")
+        with open(pout, "w") as f:
+            json.dump(pan, f)
+        print(f"panoptic: {len(pan_annotations)} annotations -> {pout}")
 
 
 if __name__ == "__main__":
