@@ -48,23 +48,29 @@ class Predictor:
             self.params = {"params": load_reference_weights(
                 self.cfg.MODEL.WEIGHTS, self.params["params"])}
 
-    def __call__(self, image_bgr: np.ndarray) -> dict:
+    def forward_raw(self, image_bgr: np.ndarray):
+        """(logits (Q, K+1), masks (Q, h4, w4), resized (h, w) pre-padding)
+        — the shared raw forward for demo and predict.py pipelines."""
         import jax.numpy as jnp
 
-        from mp_former_tpu.engine.eval_loop import (postprocess_instance,
-                                                    postprocess_semantic,
-                                                    preprocess_image)
+        from mp_former_tpu.engine.eval_loop import preprocess_image
 
-        cfg = self.cfg
-        h, w = image_bgr.shape[:2]
         # shared eval preprocessing: shortest-edge + MAX_SIZE_TEST cap,
         # INPUT.FORMAT channel order, mean padding to /32
-        canvas, image_size = preprocess_image(cfg, image_bgr)
+        canvas, image_size = preprocess_image(self.cfg, image_bgr)
         batch = jnp.asarray(canvas[None])
         self._lazy_init(batch)
         out = self._fwd(self.params, batch)
-        logits = np.asarray(out["pred_logits"][0])
-        masks = np.asarray(out["pred_masks"][0])
+        return (np.asarray(out["pred_logits"][0]),
+                np.asarray(out["pred_masks"][0]), image_size)
+
+    def __call__(self, image_bgr: np.ndarray) -> dict:
+        from mp_former_tpu.engine.eval_loop import (postprocess_instance,
+                                                    postprocess_semantic)
+
+        cfg = self.cfg
+        h, w = image_bgr.shape[:2]
+        logits, masks, image_size = self.forward_raw(image_bgr)
         res = {}
         if cfg.MODEL.MASK_FORMER.TEST.INSTANCE_ON:
             scores, classes, bin_masks = postprocess_instance(

@@ -14,49 +14,31 @@ import numpy as np
 
 
 class Predictor:
-    """setup()/predict() interface mirroring the reference's cog BasePredictor."""
+    """setup()/predict() interface mirroring the reference's cog
+    BasePredictor; the forward is demo/predictor.Predictor.forward_raw
+    (one shared implementation for every demo pipeline)."""
 
     def setup(self, config_file, weights="", opts=()):
-        import jax
-        import jax.numpy as jnp
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "demo"))
+        from predictor import Predictor as DemoPredictor
 
         from mp_former_tpu.config import (add_deeplab_config,
                                           add_maskformer2_config, get_cfg)
-        from mp_former_tpu.models import build_model
 
         cfg = get_cfg()
         add_deeplab_config(cfg)
         add_maskformer2_config(cfg)
         cfg.merge_from_file(config_file)
-        cfg.merge_from_list(list(opts))
+        cfg.merge_from_list(list(opts) + ["MODEL.WEIGHTS", weights]
+                            if weights else list(opts))
         self.cfg = cfg
-        self.model = build_model(cfg)
-        self._fwd = jax.jit(
-            lambda p, im: self.model.apply(p, im, None, train=False))
-        self._params = None
-        self._weights = weights
-        self._jnp = jnp
-        self._jax = jax
+        self._p = DemoPredictor(cfg)
 
     def predict(self, image_bgr: np.ndarray):
-        jnp, jax = self._jnp, self._jax
-        from mp_former_tpu.engine.eval_loop import preprocess_image
-
-        # shared eval preprocessing (shortest-edge + MAX_SIZE_TEST cap,
-        # INPUT.FORMAT channel order, mean padding to /32)
-        canvas, image_size = preprocess_image(self.cfg, image_bgr)
-        batch = jnp.asarray(canvas[None])
-        if self._params is None:
-            self._params = self.model.init(
-                {"params": jax.random.PRNGKey(0)}, batch, None, train=False)
-            if self._weights:
-                from mp_former_tpu.engine.checkpoint_import import \
-                    load_reference_weights
-                self._params = {"params": load_reference_weights(
-                    self._weights, self._params["params"])}
-        out = self._fwd(self._params, batch)
-        return (np.asarray(out["pred_logits"][0]),
-                np.asarray(out["pred_masks"][0]), image_size)
+        return self._p.forward_raw(image_bgr)
 
 
 def main():
