@@ -7,6 +7,7 @@ static-shape (padded Targets) so jit never recompiles.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from typing import Callable, Dict, Iterator, List, Optional
@@ -15,6 +16,8 @@ import numpy as np
 
 from ..engine.train_step import Batch
 from ..structures import Targets
+
+logger = logging.getLogger(__name__)
 
 
 def _collate(samples: List[Dict]) -> Batch:
@@ -98,6 +101,17 @@ class TrainLoader:
                     groups.setdefault(key, []).append(s)
                     if len(groups[key]) == self.batch_size:
                         self._q.put(self.collate(groups.pop(key)))
+                # rare canvas shapes must not pool samples forever (unbounded
+                # memory + sampling skew): cap live groups, dropping the
+                # stalest partial group. LSJ mappers emit one fixed shape, so
+                # this is purely a safety valve for shortest-edge mappers.
+                while len(groups) > 16:
+                    stale = next(iter(groups))
+                    dropped = groups.pop(stale)
+                    logger.warning(
+                        "dropping %d pooled samples of rare canvas shape %s "
+                        "(more than 16 distinct shapes in flight)",
+                        len(dropped), stale)
 
     def __iter__(self):
         return self

@@ -240,7 +240,8 @@ def _load_orbax_params(path: str):
 
 
 def load_reference_weights(path: str, params_template,
-                           strict: bool = False) -> Any:
+                           strict: bool = False,
+                           allow_fresh_init: bool = False) -> Any:
     """Load + convert a reference checkpoint into the flax param template.
 
     d2 DetectionCheckpointer semantics (used at reference train_net.py:378):
@@ -265,18 +266,24 @@ def load_reference_weights(path: str, params_template,
             logger.info("restored params from Orbax checkpoint %s", path)
             return restored
         # a directory that is not a recognizable Orbax checkpoint would fall
-        # through to torch.load(dir) -> IsADirectoryError; warn instead
-        logger.warning(
-            "MODEL.WEIGHTS %s is a directory but not a recognizable Orbax "
-            "checkpoint (expected OUTPUT_DIR/checkpoints, a step dir, or its "
-            "'default' item); keeping the fresh initialization", path)
+        # through to torch.load(dir) -> IsADirectoryError. Eval paths must
+        # fail loudly (silently evaluating a fresh init reports near-zero
+        # metrics); the Trainer passes allow_fresh_init=True, where training
+        # from scratch is a meaningful fallback.
+        msg = (f"MODEL.WEIGHTS {path} is a directory but not a recognizable "
+               "Orbax checkpoint (expected OUTPUT_DIR/checkpoints, a step "
+               "dir, or its 'default' item)")
+        if not allow_fresh_init:
+            raise FileNotFoundError(msg)
+        logger.warning("%s; keeping the fresh initialization", msg)
         return jax.tree.map(np.asarray, params_template)
     local = resolve_checkpoint_path(path)
     if local is None:
-        logger.warning(
-            "MODEL.WEIGHTS %s not found locally; keeping the fresh "
-            "initialization (download it or point MODEL.WEIGHTS at a file)",
-            path)
+        msg = (f"MODEL.WEIGHTS {path} not found locally (download it or "
+               "point MODEL.WEIGHTS at a file)")
+        if not allow_fresh_init:
+            raise FileNotFoundError(msg)
+        logger.warning("%s; keeping the fresh initialization", msg)
         return jax.tree.map(np.asarray, params_template)
     sd = load_state_dict(local)
     if not any(k.startswith(("backbone.", "sem_seg_head.")) for k in sd):

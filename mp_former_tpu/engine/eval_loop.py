@@ -84,6 +84,11 @@ class EvalMapper:
         # 0 = one (MIN,MAX) rectangle per orientation (fewest compiles);
         # N = per-side size buckets of N px (N must be a /32 multiple)
         self.bucket_step = cfg.TPU.EVAL_BUCKET_STEP
+        if self.bucket_step and self.bucket_step % 32 != 0:
+            raise ValueError(
+                f"TPU.EVAL_BUCKET_STEP={self.bucket_step} must be a multiple "
+                "of 32: eval canvases are quantized to it and the model "
+                "requires /32-divisible input sizes")
 
     def __call__(self, record: dict) -> Optional[dict]:
         import cv2
@@ -160,13 +165,18 @@ def postprocess_panoptic(logits, masks, image_size, out_h, out_w,
 # jitted eval forwards keyed by model identity: periodic eval calls
 # run_evaluation every TEST.EVAL_PERIOD steps, and a fresh @jax.jit closure
 # per call would re-trace (and re-look-up XLA compilation) each time. The
-# model object is pinned in the value so its id stays valid.
-_FWD_CACHE: Dict[int, tuple] = {}
+# model object is pinned in the value so its id stays valid; a small LRU
+# bound keeps repeatedly rebuilt models from accumulating without bound.
+from collections import OrderedDict
+
+_FWD_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
+_FWD_CACHE_MAX = 4
 
 
 def _eval_forward(model):
     hit = _FWD_CACHE.get(id(model))
     if hit is not None and hit[0] is model:
+        _FWD_CACHE.move_to_end(id(model))
         return hit[1]
 
     @jax.jit
@@ -175,15 +185,24 @@ def _eval_forward(model):
         return out["pred_logits"], out["pred_masks"]
 
     _FWD_CACHE[id(model)] = (model, fwd)
+    while len(_FWD_CACHE) > _FWD_CACHE_MAX:
+        _FWD_CACHE.popitem(last=False)
     return fwd
 
 
 def run_evaluation(cfg, model, params, dataset_name: str,
                    max_images: Optional[int] = None,
-                   evaluator_set=None) -> Dict:
+                   evaluator_set=None, mesh=None) -> Dict:
     """Evaluate one dataset with its registered evaluator family (reference
     Trainer.test + build_evaluator, train_net.py:142-222): ONE jitted forward
-    per image feeds every evaluator's post-processing."""
+    per image feeds every evaluator's post-processing.
+
+    Distributed evaluation (reference d2 inference_on_dataset rank sharding +
+    comm.gather, train_net.py:84-86): pass `mesh` to batch same-shape eval
+    canvases across the mesh's devices (one sharded forward computes D images
+    at once); under multi-process JAX each process additionally evaluates a
+    disjoint record shard and evaluator states are all-gathered and merged
+    before evaluate()."""
     from ..data.catalog import DatasetCatalog, MetadataCatalog
     from ..evaluation.build import build_evaluator, is_thing_array
 
@@ -197,20 +216,14 @@ def run_evaluation(cfg, model, params, dataset_name: str,
     topk = cfg.TEST.DETECTIONS_PER_IMAGE
     tasks = evset.tasks
 
+    nproc = jax.process_count()
+    if nproc > 1:
+        # d2 shards records round-robin over ranks; mirror that per process
+        records = records[jax.process_index()::nproc]
+
     fwd = _eval_forward(model)
 
-    evset.reset()
-    n = 0
-    t0 = time.perf_counter()
-    for rec in records:
-        if max_images is not None and n >= max_images:
-            break
-        sample = mapper(rec)
-        if sample is None:
-            continue
-        logits, masks = fwd(params, jnp.asarray(sample["image"][None]))
-        logits0 = np.asarray(logits[0])
-        masks0 = np.asarray(masks[0])
+    def postprocess(rec, sample, logits0, masks0):
         outputs = {}
         if "instance" in tasks:
             outputs["instance"] = postprocess_instance(
@@ -227,10 +240,73 @@ def run_evaluation(cfg, model, params, dataset_name: str,
                 cfg.MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD,
                 cfg.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD, is_thing)
         evset.process(rec, outputs)
-        n += 1
+
+    evset.reset()
+    n = 0
+    t0 = time.perf_counter()
+
+    def tick():
         if n % 50 == 0:
             logger.info("eval %d images (%.2f s/img)", n,
                         (time.perf_counter() - t0) / n)
+
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if mesh is not None and n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_s = NamedSharding(mesh, P("data"))
+        params_rep = jax.device_put(params, NamedSharding(mesh, P()))
+
+        def flush(items):
+            nonlocal n
+            k = len(items)
+            imgs = np.stack([s["image"] for _, s in items]
+                            + [items[-1][1]["image"]] * (n_dev - k))
+            logits, masks = fwd(params_rep, jax.device_put(imgs, data_s))
+            logits, masks = np.asarray(logits), np.asarray(masks)
+            for i, (rec, sample) in enumerate(items):
+                postprocess(rec, sample, logits[i], masks[i])
+                n += 1
+                tick()
+
+        # group mapped samples by canvas shape so one (D, H, W, 3) stack is
+        # legal; partial groups flush padded with a repeated last canvas
+        # (pad outputs discarded)
+        groups: Dict[tuple, list] = {}
+        done = 0
+        for rec in records:
+            if max_images is not None and done >= max_images:
+                break
+            sample = mapper(rec)
+            if sample is None:
+                continue
+            done += 1
+            key = sample["image"].shape
+            groups.setdefault(key, []).append((rec, sample))
+            if len(groups[key]) == n_dev:
+                flush(groups.pop(key))
+        for items in groups.values():
+            flush(items)
+    else:
+        for rec in records:
+            if max_images is not None and n >= max_images:
+                break
+            sample = mapper(rec)
+            if sample is None:
+                continue
+            logits, masks = fwd(params, jnp.asarray(sample["image"][None]))
+            postprocess(rec, sample, np.asarray(logits[0]),
+                        np.asarray(masks[0]))
+            n += 1
+            tick()
+
+    if nproc > 1:
+        from ..parallel.dist import all_gather_objects
+
+        for i, other in enumerate(all_gather_objects(evset)):
+            if i != jax.process_index():
+                evset.merge_from(other)
+
     results = evset.evaluate()
     logger.info("evaluated %d images on %s: %s", n, dataset_name, results)
     return results

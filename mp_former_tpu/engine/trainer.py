@@ -105,7 +105,12 @@ class Trainer:
         if weights:
             from .checkpoint_import import load_reference_weights
 
-            params = load_reference_weights(weights, self.state.params)
+            # training may fall back to a fresh init (e.g. an ImageNet pkl
+            # URL unreachable from this environment); eval paths keep the
+            # raising default so a mistyped checkpoint cannot silently
+            # report fresh-init metrics
+            params = load_reference_weights(
+                weights, self.state.params, allow_fresh_init=True)
             self.state = self.state._replace(params=self._replicate(params))
             logger.info("loaded weights from %s", weights)
         return 0
@@ -184,7 +189,7 @@ class Trainer:
                 else:
                     r = run_evaluation(
                         self.cfg, self.model, {"params": self.state.params},
-                        name, max_images)
+                        name, max_images, mesh=self.mesh)
             except NotImplementedError as e:
                 logger.warning("%s", e)
                 continue

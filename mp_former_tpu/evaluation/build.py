@@ -92,6 +92,16 @@ class EvaluatorSet:
         for e in self.entries:
             e.evaluator.reset()
 
+    def merge_from(self, other: "EvaluatorSet"):
+        """Fold another set's accumulated state into this one (distributed
+        eval: each rank/process accumulates a disjoint record shard; states
+        are merged before evaluate(), mirroring the reference's d2
+        comm.gather of predictions, train_net.py:84-86)."""
+        assert len(self.entries) == len(other.entries), \
+            "merge_from requires evaluator sets built from the same config"
+        for mine, theirs in zip(self.entries, other.entries):
+            mine.evaluator.merge_from(theirs.evaluator)
+
     def process(self, record: dict, task_outputs: Dict):
         for e in self.entries:
             if e.task in task_outputs:

@@ -56,22 +56,26 @@ def _average_precision(y_true: np.ndarray, y_score: np.ndarray,
         return float("nan")
     if n == 0:
         return 0.0
-    order = np.argsort(-y_score, kind="stable")  # descending
-    yt = y_true[order]
-    tp = np.cumsum(yt)
-    fp = np.cumsum(1 - yt)
-    # evaluate P/R after each distinct score prefix
-    keep = np.ones(n, bool)
-    keep[:-1] = y_score[order][1:] != y_score[order][:-1]
-    precision = tp[keep] / (tp[keep] + fp[keep])
-    recall = tp[keep] / n_pos
-    # trapezoidal area anchored at the official artificial point
-    # (r=0, p=1.0) — cityscapesscripts appends precision=1, recall=0 before
-    # integrating; anchoring at p=first instead loses area whenever the
-    # top-scored prediction is a false positive
-    r = np.concatenate([[0.0], recall])
-    p = np.concatenate([[1.0], precision])
-    return float(np.sum((r[1:] - r[:-1]) * (p[1:] + p[:-1]) / 2))
+    # official order: ascending score; one P/R point per distinct threshold
+    # (tp = trues at-or-above it), plus the artificial last point (p=1, r=0)
+    order = np.argsort(y_score, kind="stable")
+    ys = y_score[order]
+    yt = y_true[order].astype(np.float64)
+    cum = np.concatenate([[0.0], np.cumsum(yt)])   # cum[i] = trues below idx i
+    n_true = cum[-1]
+    _, first = np.unique(ys, return_index=True)    # ascending thresholds
+    tp = n_true - cum[first]
+    fp = (n - first) - tp
+    fn = cum[first] + hard_fns
+    precision = np.concatenate([tp / np.maximum(tp + fp, 1e-12), [1.0]])
+    recall = np.concatenate([tp / np.maximum(tp + fn, 1e-12), [0.0]])
+    # official integration: midpoint step widths from a [-0.5, 0, 0.5]
+    # convolution over recall padded with (recall[0], ..., 0) — NOT a
+    # trapezoid; scores are then numerically comparable with
+    # cityscapesscripts evalInstanceLevelSemanticLabeling
+    recall_conv = np.concatenate([[recall[0]], recall, [0.0]])
+    step_widths = np.convolve(recall_conv, [-0.5, 0, 0.5], "valid")
+    return float(np.dot(precision, step_widths))
 
 
 class CityscapesInstanceEvaluator:
@@ -85,6 +89,10 @@ class CityscapesInstanceEvaluator:
         # per class: list of per-image dicts
         self._per_class: Dict[int, List[dict]] = {
             i: [] for i in range(len(INSTANCE_LABELS))}
+
+    def merge_from(self, other: "CityscapesInstanceEvaluator"):
+        for c, recs in other._per_class.items():
+            self._per_class[c].extend(recs)
 
     # ------------------------------------------------------------------
     def process(self, record: dict, scores: np.ndarray, classes: np.ndarray,
@@ -212,6 +220,10 @@ class CityscapesSemSegEvaluator:
         self._i_fn = np.zeros(n, np.float64)
         # per-instance records for iIoU: (class, size, tp_pixels)
         self._instances: List[tuple] = []
+
+    def merge_from(self, other: "CityscapesSemSegEvaluator"):
+        self._conf += other._conf
+        self._instances.extend(other._instances)
 
     _label_id_to_train = None
 

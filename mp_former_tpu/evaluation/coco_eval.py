@@ -82,6 +82,16 @@ class CocoAPEvaluator:
         self._cats: set = set()
         self._acc_cache: Dict[str, np.ndarray] = {}
 
+    def merge_from(self, other: "CocoAPEvaluator"):
+        """Fold another evaluator's accumulated per-image records into this
+        one (distributed eval: ranks accumulate disjoint image shards, then
+        merge before summarize — reference d2 COCOEvaluator gathers
+        predictions across ranks the same way)."""
+        for c, recs in other._records.items():
+            self._records[c].extend(recs)
+        self._cats |= other._cats
+        self._acc_cache.clear()
+
     def add_image(
         self,
         det_scores: np.ndarray,          # (D,)

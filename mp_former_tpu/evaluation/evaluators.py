@@ -27,6 +27,9 @@ class COCOEvaluator:
     def reset(self):
         self._ap = CocoAPEvaluator(self.iou_type, self.max_dets)
 
+    def merge_from(self, other: "COCOEvaluator"):
+        self._ap.merge_from(other._ap)
+
     def process(self, image_id, scores: np.ndarray, classes: np.ndarray,
                 masks: List[np.ndarray]):
         """Predictions at ORIGINAL image resolution; GT rasterized lazily."""
@@ -85,6 +88,9 @@ class COCOPanopticEvaluator:
     def reset(self):
         self._pq.reset()
 
+    def merge_from(self, other: "COCOPanopticEvaluator"):
+        self._pq.merge_from(other._pq)
+
     def process_prediction(self, record: dict, pred_map: np.ndarray,
                            pred_segments: List[dict]):
         import cv2
@@ -115,6 +121,9 @@ class SemSegEvaluator:
 
     def reset(self):
         self._conf = np.zeros((self.num_classes + 1, self.num_classes + 1), np.int64)
+
+    def merge_from(self, other: "SemSegEvaluator"):
+        self._conf += other._conf
 
     def process(self, pred: np.ndarray, gt: np.ndarray):
         """pred: (H, W) int class ids; gt: (H, W) with ignore_label."""

@@ -58,6 +58,9 @@ class LVISEvaluator:
     def reset(self):
         self._ap = CocoAPEvaluator(self.iou_type, max_dets=self.max_dets)
 
+    def merge_from(self, other: "LVISEvaluator"):
+        self._ap.merge_from(other._ap)
+
     def process(self, image_id, scores: np.ndarray, classes: np.ndarray,
                 masks: List[np.ndarray]):
         """Predictions at original resolution, contiguous category ids."""

@@ -46,6 +46,9 @@ class PanopticEvaluator:
     def reset(self):
         self._stat = PQStat()
 
+    def merge_from(self, other: "PanopticEvaluator"):
+        self._stat.merge(other._stat)
+
     def process(self, pred_map: np.ndarray, pred_segments: List[dict],
                 gt_map: np.ndarray, gt_segments: List[dict]):
         stat = self._stat

@@ -84,15 +84,38 @@ def hungarian_assign(cost: jax.Array, impl: str = "auto",
         from ..ops.auction_lsa import auction_assign
 
         return auction_assign(jax.lax.stop_gradient(cost), col_valid=col_valid)
-    lead = cost.shape[:-2]
+    cost = jax.lax.stop_gradient(cost)
     q, n = cost.shape[-2:]
-    flat = cost.reshape((-1, q, n))
-    out = jax.pure_callback(
-        _lsa_host,
-        jax.ShapeDtypeStruct((flat.shape[0], n), jnp.int32),
-        jax.lax.stop_gradient(flat),
-    )
-    return out.reshape(lead + (n,))
+
+    def _solve(c):
+        lead = c.shape[:-2]
+        flat = c.reshape((-1, q, n))
+        out = jax.pure_callback(
+            _lsa_host,
+            jax.ShapeDtypeStruct((flat.shape[0], n), jnp.int32),
+            flat,
+        )
+        return out.reshape(lead + (n,))
+
+    # A bare pure_callback materializes its result on device 0
+    # ({maximal device=0}); under a data-parallel mesh the partitioner then
+    # involuntarily replicates it (SPMD "full rematerialization" warning).
+    # Run the callback per shard instead: each device solves its local batch
+    # slab and the result is born with the batch sharding. Dim -3 is the
+    # batch dim both for (B, Q, N) and for the criterion's stacked
+    # (L, B, Q, N) call.
+    mesh = jax.sharding.get_abstract_mesh()
+    if (not mesh.empty and "data" in mesh.axis_names and cost.ndim >= 3
+            and cost.shape[-3] % mesh.shape["data"] == 0):
+        P = jax.sharding.PartitionSpec
+        pad = [None] * (cost.ndim - 3)
+        return jax.shard_map(
+            _solve, mesh=mesh,
+            in_specs=P(*(pad + ["data", None, None])),
+            out_specs=P(*(pad + ["data", None])),
+            check_vma=False,
+        )(cost)
+    return _solve(cost)
 
 
 def batch_dice_cost(inputs: jax.Array, targets: jax.Array) -> jax.Array:

@@ -69,38 +69,64 @@ def make_clip_forward(cfg, t_pad: int):
 
 # jitted per-T-bucket clip forwards keyed by model identity, so periodic
 # eval during training does not re-trace every call (the model object is
-# pinned in the value to keep its id valid)
-_CLIP_FWD_CACHE: Dict[tuple, tuple] = {}
+# pinned in the value to keep its id valid; LRU-bounded so repeatedly
+# rebuilt models x T buckets cannot accumulate without bound)
+from collections import OrderedDict
+
+_CLIP_FWD_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_CLIP_FWD_CACHE_MAX = 16
 
 
 def _clip_forward(cfg, model, t_pad: int):
     key = (id(model), t_pad)
     hit = _CLIP_FWD_CACHE.get(key)
     if hit is not None and hit[0] is model:
+        _CLIP_FWD_CACHE.move_to_end(key)
         return hit[1]
     fwd = make_clip_forward(cfg, t_pad)
     _CLIP_FWD_CACHE[key] = (model, fwd)
+    while len(_CLIP_FWD_CACHE) > _CLIP_FWD_CACHE_MAX:
+        _CLIP_FWD_CACHE.popitem(last=False)
     return fwd
 
 
 def inference_on_video_dataset(cfg, model, params, records: List[dict],
                                max_videos: Optional[int] = None,
-                               max_frames: Optional[int] = None) -> Dict:
+                               max_frames: Optional[int] = None,
+                               mesh=None) -> Dict:
     """Evaluate video AP over a YTVIS-style dataset on WHOLE clips
     (reference video_maskformer_model.py:255-287 feeds the entire clip in
     one forward). Clip lengths are padded to static T buckets by repeating
     the last frame; padding frames are masked out of cross-attention and
     their predictions discarded. `max_frames` optionally caps very long
-    clips (None = no cap)."""
+    clips (None = no cap).
+
+    Distributed eval mirrors the image loop (engine/eval_loop.py): pass
+    `mesh` to batch same-shape clips across its devices in one sharded
+    forward; under multi-process JAX each process evaluates a disjoint
+    video shard and evaluator states are merged before evaluate()."""
+    import jax
+
     evaluator = YTVISEvaluator(records)
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
     pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
 
-    n = 0
-    for rec in records:
-        if max_videos is not None and n >= max_videos:
-            break
-        t = rec["length"] if max_frames is None else min(rec["length"], max_frames)
+    nproc = jax.process_count()
+    iter_records = (records[jax.process_index()::nproc] if nproc > 1
+                    else records)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_s = NamedSharding(mesh, P("data"))
+        params_put = jax.device_put(params, NamedSharding(mesh, P()))
+    else:
+        params_put = params
+
+    def prep(rec):
+        """Decode + resize one clip -> dict or None."""
+        t = (rec["length"] if max_frames is None
+             else min(rec["length"], max_frames))
         h, w = rec["height"], rec["width"]
         # shortest-edge resize with the long-side cap, preserving aspect
         # (reference/d2 ResizeShortestEdge) — then mean-pad to /32, like the
@@ -122,20 +148,63 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
             canvas[:rh, :rw] = cv2.resize(img, (rw, rh))
             frames.append(canvas)
         if len(frames) < t:
-            continue
+            return None
         t_pad = t_bucket(t)
-        fwd = _clip_forward(cfg, model, t_pad)
         frames += [frames[-1]] * (t_pad - t)
-        frame_valid = jnp.asarray(
-            np.arange(t_pad)[None, :] < t)  # (1, T_pad)
-        clip = jnp.asarray(np.stack(frames)[None].astype(np.float32))
-        logits, masks = fwd(params, clip, frame_valid)
-        scores, classes, tubes = inference_video(
-            np.asarray(logits[0]), masks[0, :, :t],
-            (rh, rw), h, w, num_classes)
-        evaluator.process(rec["video_id"], scores, classes,
-                          [tubes[i] for i in range(tubes.shape[0])])
-        n += 1
+        return {"rec": rec, "t": t, "t_pad": t_pad, "rh": rh, "rw": rw,
+                "clip": np.stack(frames).astype(np.float32),
+                "fv": np.arange(t_pad) < t}
+
+    n = 0
+
+    def flush(items):
+        nonlocal n
+        t_pad = items[0]["t_pad"]
+        fwd = _clip_forward(cfg, model, t_pad)
+        k = len(items)
+        pad = (n_dev - k) if n_dev > 1 else 0
+        clips = np.stack([it["clip"] for it in items]
+                         + [items[-1]["clip"]] * pad)
+        fvs = np.stack([it["fv"] for it in items] + [items[-1]["fv"]] * pad)
+        if n_dev > 1:
+            clips = jax.device_put(clips, data_s)
+            fvs = jax.device_put(fvs, data_s)
+        else:
+            clips, fvs = jnp.asarray(clips), jnp.asarray(fvs)
+        logits, masks = fwd(params_put, clips, fvs)
+        logits = np.asarray(logits)
+        for i, it in enumerate(items):
+            scores, classes, tubes = inference_video(
+                logits[i], masks[i, :, : it["t"]],
+                (it["rh"], it["rw"]), it["rec"]["height"],
+                it["rec"]["width"], num_classes)
+            evaluator.process(it["rec"]["video_id"], scores, classes,
+                              [tubes[j] for j in range(tubes.shape[0])])
+            n += 1
+
+    groups: dict = {}
+    done = 0
+    for rec in iter_records:
+        if max_videos is not None and done >= max_videos:
+            break
+        it = prep(rec)
+        if it is None:
+            continue
+        done += 1
+        key = (it["t_pad"],) + it["clip"].shape
+        groups.setdefault(key, []).append(it)
+        if len(groups[key]) == max(n_dev, 1):
+            flush(groups.pop(key))
+    for items in groups.values():
+        flush(items)
+
+    if nproc > 1:
+        from ..parallel.dist import all_gather_objects
+
+        for i, other in enumerate(all_gather_objects(evaluator)):
+            if i != jax.process_index():
+                evaluator.merge_from(other)
+
     results = evaluator.evaluate()
     logger.info("evaluated %d videos: %s", n, results)
     return results

@@ -22,6 +22,9 @@ class YTVISEvaluator:
     def reset(self):
         self._ap = CocoAPEvaluator("segm", self.max_dets)
 
+    def merge_from(self, other: "YTVISEvaluator"):
+        self._ap.merge_from(other._ap)
+
     def process(self, video_id, scores: np.ndarray, classes: np.ndarray,
                 tube_masks: List[np.ndarray]):
         """tube_masks: list of (T, H, W) bool at original resolution."""

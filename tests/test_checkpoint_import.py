@@ -187,12 +187,29 @@ def test_load_state_dict_bf16_tensors(tmp_path):
 
 
 def test_load_reference_weights_bogus_directory(tmp_path):
-    """A directory that is not an Orbax checkpoint warns and keeps the fresh
-    init instead of IsADirectoryError from torch.load."""
+    """A directory that is not an Orbax checkpoint raises by default (eval
+    paths must not silently report fresh-init metrics); the Trainer's
+    allow_fresh_init=True keeps the warn-and-train-from-scratch fallback."""
+    import pytest
     import jax.numpy as jnp
 
     from mp_former_tpu.engine.checkpoint_import import load_reference_weights
 
     template = {"w": jnp.ones((2,))}
-    out = load_reference_weights(str(tmp_path), template)
+    with pytest.raises(FileNotFoundError):
+        load_reference_weights(str(tmp_path), template)
+    out = load_reference_weights(str(tmp_path), template,
+                                 allow_fresh_init=True)
     np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+
+
+def test_load_reference_weights_missing_path_raises(tmp_path):
+    import pytest
+
+    import jax.numpy as jnp
+
+    from mp_former_tpu.engine.checkpoint_import import load_reference_weights
+
+    template = {"w": jnp.ones((2,))}
+    with pytest.raises(FileNotFoundError):
+        load_reference_weights(str(tmp_path / "nope.pth"), template)

@@ -222,3 +222,36 @@ def test_criterion_zero_dn_when_absent():
     losses = crit(outputs, targets, jax.random.PRNGKey(1))
     assert float(losses["loss_ce_dn"]) == 0.0
     assert float(losses["loss_mask_dn_0"]) == 0.0
+
+
+def test_sample_mask_points_packed_equals_taps():
+    """The packed 2x2-patch single-gather formulation must be numerically
+    identical (values AND grads) to the 4-separate-taps form it replaced
+    (reference point_rend point_sample semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp_former_tpu.models.criterion import (_sample_mask_points_taps,
+                                                sample_mask_points)
+
+    r = np.random.RandomState(0)
+    masks = jnp.asarray(r.rand(2, 5, 17, 23).astype(np.float32))
+    qidx = jnp.asarray(r.randint(0, 5, (2, 4)), jnp.int32)
+    coords = jnp.asarray(r.rand(2, 4, 50, 2).astype(np.float32))
+    coords = coords.at[0, 0, :5, 0].set(
+        jnp.asarray([0.0, 1.0, 0.999, 0.001, 0.5]))
+
+    a = sample_mask_points(masks, qidx, coords)
+    b = _sample_mask_points_taps(masks, qidx, coords)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+    c5 = jnp.asarray(r.rand(2, 5, 50, 2).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sample_mask_points(masks, None, c5)),
+        np.asarray(_sample_mask_points_taps(masks, None, c5)),
+        rtol=1e-6, atol=1e-6)
+    g1 = jax.grad(lambda m: sample_mask_points(m, qidx, coords).sum())(masks)
+    g2 = jax.grad(
+        lambda m: _sample_mask_points_taps(m, qidx, coords).sum())(masks)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)

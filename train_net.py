@@ -122,6 +122,12 @@ def main(args):
         if cfg.MODEL.WEIGHTS:
             params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS, params["params"])}
 
+        # distributed eval: batch canvases across every visible device
+        # (reference evaluates rank-sharded on all GPUs, eval.sh --num-gpus 4)
+        from mp_former_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(cfg) if len(jax.devices()) > 1 else None
+
         # evaluator family per dataset evaluator_type metadata (reference
         # Trainer.build_evaluator dispatch, train_net.py:142-222); every
         # DATASETS.TEST entry is evaluated (d2 DefaultTrainer.test semantics)
@@ -129,7 +135,7 @@ def main(args):
         for dataset_name in cfg.DATASETS.TEST:
             try:
                 r = run_evaluation(cfg, model, params, dataset_name,
-                                   args.max_eval_images)
+                                   args.max_eval_images, mesh=mesh)
             except NotImplementedError as e:
                 logging.getLogger(__name__).warning("%s", e)
                 continue
