@@ -273,6 +273,11 @@ def add_maskformer2_config(cfg: CN) -> None:
     # and mask transfer 16x at stride 4 (the remote-TPU transfer of full-res
     # GT masks otherwise dominates data time at 1024px).
     cfg.TPU.GT_MASK_STRIDE = 0
+    # pred-side random-point loss sampling via tent-matrix matmuls (MXU)
+    # instead of per-point gathers whose backward is a scatter-add (~80
+    # ns/row on TPU — 5.2 s/step at B=8/512px). Numerically equivalent to
+    # the 4-tap form (fp32 HIGHEST matmuls, ~1e-6); False restores gathers.
+    cfg.TPU.POINT_MATMUL_SAMPLING = True
     # roll the deformable encoder's identical layers into one lax.scan
     # (stacked params, one while-loop on device). Same math — the unrolled
     # form pays per-HLO dispatch overhead on this remote backend (~0.1 ms/op

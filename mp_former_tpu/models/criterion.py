@@ -126,6 +126,58 @@ def _sample_mask_points_taps(masks, qidx, coords):
             + v10 * (1 - tx) * ty + v11 * tx * ty)
 
 
+def sample_points_matmul(masks: jax.Array, coords: jax.Array,
+                         pair_chunk: int = 0) -> jax.Array:
+    """Bilinear point_sample of per-pair masks as two tent-matrix
+    contractions instead of per-point gathers.
+
+    masks: (P, h, w); coords: (P, pts, 2) in [0, 1] -> (P, pts).
+
+    point[i] = sum_{y,x} Ay[i,y] * mask[y,x] * Ax[i,x], where the tent
+    Ax[i,x] = max(0, 1 - |fx_i - x|) is EXACTLY the bilinear weight pair
+    (1-tx at x0, tx at x0+1) with grid_sample zero padding (out-of-range
+    taps fall off the grid). TPU rationale: XLA's gather moves ~1 row per
+    7 ns and its scatter-add transpose ~1 row per 80 ns regardless of width
+    (PERFORMANCE.md), so the reference's random-point losses spend seconds
+    per step in gathers + scatters; as matmuls both directions run on the
+    MXU and the autodiff backward is just the transposed contraction — no
+    scatter exists in the program. fp32 HIGHEST precision keeps it
+    numerically equivalent to the 4-tap form (~1e-6).
+
+    pair_chunk bounds the materialized tent matrices ((chunk, pts, h+w)
+    floats) via lax.map over pair blocks; 0 = no chunking.
+    """
+    p, h, w = masks.shape
+    pts = coords.shape[1]
+
+    def block(args):
+        m, c = args  # (pc, h, w), (pc, pts, 2)
+        fx = c[..., 0] * w - 0.5
+        fy = c[..., 1] * h - 0.5
+        ax = jnp.maximum(
+            0.0, 1.0 - jnp.abs(fx[..., None] - jnp.arange(w, dtype=m.dtype)))
+        ay = jnp.maximum(
+            0.0, 1.0 - jnp.abs(fy[..., None] - jnp.arange(h, dtype=m.dtype)))
+        t = jnp.einsum("pyx,pix->piy", m, ax,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("piy,piy->pi", t, ay,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    if pair_chunk <= 0 or pair_chunk >= p:
+        return block((masks, coords))
+    nc = -(-p // pair_chunk)
+    pad = nc * pair_chunk - p
+    mp = jnp.pad(masks, ((0, pad), (0, 0), (0, 0)))
+    cp = jnp.pad(coords, ((0, pad), (0, 0), (0, 0)))
+    # checkpoint: lax.map's backward would otherwise SAVE each block's tent
+    # matrices (the full (P, pts, h+w) we are chunking to avoid); recompute
+    # them instead
+    out = jax.lax.map(jax.checkpoint(block),
+                      (mp.reshape(nc, pair_chunk, h, w),
+                       cp.reshape(nc, pair_chunk, pts, 2)))
+    return out.reshape(nc * pair_chunk, pts)[:p]
+
+
 def dice_loss(point_logits, point_labels, pair_valid, num_masks):
     """Reference dice_loss :21-44 over (B, N, P) pairs with validity mask."""
     inputs = jax.nn.sigmoid(point_logits)
@@ -160,6 +212,7 @@ class SetCriterion:
         dn_no_lb: bool = False,
         max_pairs: int = 0,
         point_sample_mode: str = "random",
+        point_matmul: bool = True,
     ):
         self.num_classes = num_classes
         self.matcher = matcher
@@ -184,6 +237,11 @@ class SetCriterion:
         # gathers. Statistically equivalent (the reference's 3x oversampling
         # already exceeds the 1/4-res grid density) but not bit-identical.
         self.point_sample_mode = point_sample_mode
+        # pred-side point sampling via tent-matrix matmuls (exact; kills the
+        # gather/scatter row costs on TPU — see sample_points_matmul). GT
+        # sampling stays on gathers (full-res GT makes the contraction
+        # h*w-quadratic).
+        self.point_matmul = point_matmul
         self._gt_grid_cache = None
 
     # ------------------------------------------------------------------
@@ -267,7 +325,22 @@ class SetCriterion:
 
         pred32 = pred_flat.astype(jnp.float32)
         coords1 = jax.random.uniform(k1, (1, p, num_sampled, 2))
-        logits1 = sample_mask_points(pred32, pred_idx, coords1)
+
+        if self.point_matmul:
+            pred_pair = pred32[0][pred_idx[0]]  # (P, h, w) row gather
+
+            def sample_pred(c):  # (1, P, pts, 2) -> (1, P, pts)
+                pts = c.shape[2]
+                # bound tents ((chunk, pts, h+w) f32) to ~256 MB per block;
+                # checkpoint recomputes them in the matmul backward
+                chunk = max(1, 2 ** 26 // (pts * (h + w)))
+                return sample_points_matmul(
+                    pred_pair, c[0], pair_chunk=chunk)[None]
+        else:
+            def sample_pred(c):
+                return sample_mask_points(pred32, pred_idx, c)
+
+        logits1 = sample_pred(coords1)
         uncertainty = -jnp.abs(jax.lax.stop_gradient(logits1))
         _, top = jax.lax.top_k(uncertainty, num_uncertain)
         uncertain_coords = jnp.take_along_axis(coords1, top[..., None], axis=2)
@@ -280,7 +353,7 @@ class SetCriterion:
 
         point_labels = jax.lax.stop_gradient(
             sample_mask_points(gt_flat.astype(jnp.float32), gt_idx, coords))
-        point_logits = sample_mask_points(pred32, pred_idx, coords)
+        point_logits = sample_pred(coords)
         return {
             "loss_mask": sigmoid_ce_loss(point_logits, point_labels,
                                          pair_valid, num_masks),
@@ -509,4 +582,5 @@ def build_criterion(cfg) -> SetCriterion:
         dn_no_lb=cfg.MODEL.MASK_FORMER.DN_NO_LB,
         max_pairs=cfg.TPU.MAX_PAIRS,
         point_sample_mode=cfg.TPU.POINT_SAMPLE_MODE,
+        point_matmul=cfg.TPU.POINT_MATMUL_SAMPLING,
     )

@@ -255,3 +255,34 @@ def test_sample_mask_points_packed_equals_taps():
         lambda m: _sample_mask_points_taps(m, qidx, coords).sum())(masks)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sample_points_matmul_equals_gather():
+    """The tent-matrix matmul sampler (MXU; no scatter in the backward) must
+    match the gather-based point_sample to fp32 accumulation tolerance,
+    chunked and unchunked, values and grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp_former_tpu.models.criterion import (sample_mask_points,
+                                                sample_points_matmul)
+
+    r = np.random.RandomState(0)
+    masks = jnp.asarray(r.randn(7, 19, 23).astype(np.float32))
+    coords = jnp.asarray(r.rand(7, 40, 2).astype(np.float32))
+    coords = coords.at[0, :4, 0].set(jnp.asarray([0.0, 1.0, 0.5, 0.013]))
+    ref = sample_mask_points(masks[None].reshape(1, 7, 19, 23), None,
+                             coords[None])[0]
+    for chunk in (0, 3):
+        got = sample_points_matmul(masks, coords, pair_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+    g1 = jax.grad(
+        lambda m: (sample_points_matmul(m, coords, pair_chunk=3) ** 2).sum()
+    )(masks)
+    g2 = jax.grad(
+        lambda m: (sample_mask_points(
+            m[None].reshape(1, 7, 19, 23), None, coords[None])[0] ** 2).sum()
+    )(masks[None].reshape(1, 7, 19, 23))[0].reshape(7, 19, 23)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)

@@ -280,3 +280,55 @@ def test_position_embedding_sine3d_matches_torch():
 
     got = np.asarray(position_embedding_sine3d(t, h, w, f))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_video_eval_sharded_matches_single(tmp_path):
+    """inference_on_video_dataset(mesh=...) batches clips across devices;
+    results must equal the single-device loop (distributed video eval,
+    mirror of engine/eval_loop.py device sharding)."""
+    import cv2
+
+    from mp_former_tpu.parallel.mesh import create_mesh
+    from mp_former_tpu.video.eval_loop import inference_on_video_dataset
+
+    cfg = _video_cfg()
+    cfg.defrost()
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.TPU.MESH_SHAPE = [2]
+    cfg.freeze()
+    t, h, w = 4, 64, 64
+    rng = np.random.RandomState(5)
+    recs = []
+    for vi in range(3):  # 3 videos on 2 devices: one full + one padded group
+        frame_dir = tmp_path / f"v{vi}"
+        frame_dir.mkdir()
+        file_names = []
+        for fi in range(t):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            img[8:40, 8:40] = (250, 10, 10)
+            p = str(frame_dir / f"{fi:05d}.jpg")
+            cv2.imwrite(p, img)
+            file_names.append(p)
+        poly = [[8, 8, 40, 8, 40, 40, 8, 40]]
+        recs.append({
+            "video_id": vi + 1, "height": h, "width": w, "length": t,
+            "file_names": file_names,
+            "annotations": [{
+                "id": vi + 1, "category_id": 0, "iscrowd": 0,
+                "segmentations": [poly] * t, "areas": [1024] * t,
+            }],
+        })
+
+    model = build_model(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, t, h, w, 3), jnp.float32),
+                        None, train=False)
+
+    single = inference_on_video_dataset(cfg, model, params, recs)
+    mesh = create_mesh(cfg, jax.devices()[:2])
+    sharded = inference_on_video_dataset(cfg, model, params, recs, mesh=mesh)
+    for k, v in single["segm"].items():
+        a, b = float(v), float(sharded["segm"][k])
+        if np.isnan(a) and np.isnan(b):
+            continue
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6, err_msg=k)
