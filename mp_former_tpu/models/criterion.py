@@ -44,10 +44,12 @@ def sample_mask_points(
     n, p = coords.shape[1], coords.shape[2]
 
     # the 2x2-patch table is 4x the mask tensor; full-res GT masks at large
-    # batch would blow HBM (B=8 x 40 slots x 513^2 x 4 = 1.3 GB), so huge
-    # tables keep the 4-separate-taps form (GT rows are a minority of the
-    # step's gather volume)
-    if b * m * (h + 1) * (w + 1) * 4 > 2 ** 28:
+    # batch would blow HBM (B=8 x 40 slots x 513^2 x 4 x 4B = 1.3 GB), so
+    # tables over ~1 GB keep the 4-separate-taps form (GT rows are a
+    # minority of the step's gather volume). Byte-based: a bf16 GT table
+    # (EXACT for 0/1 masks — tent weights below stay fp32) halves the size
+    # and keeps the 4-wide packed rows.
+    if b * m * (h + 1) * (w + 1) * 4 * masks.dtype.itemsize > 2 ** 30:
         return _sample_mask_points_taps(masks, qidx, coords)
 
     # patch[o, y, x] = [v(y-1,x-1), v(y-1,x), v(y,x-1), v(y,x)] on the
@@ -79,13 +81,16 @@ def sample_mask_points(
 
     # an unclipped base (x0 in [-1, w-1], y0 in [-1, h-1]) reads real pixels
     # or the zero border — exactly grid_sample zero padding; a clipped base
-    # (coords outside [0, 1]) would alias, so zero the point instead
+    # (coords outside [0, 1]) would alias, so zero the point instead.
+    # Weights stay in the coords dtype (fp32): with an fp32 table this is
+    # unchanged, with a bf16 table of 0/1 masks the result is still exact.
     pvalid = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
-    pvalid = pvalid.astype(masks.dtype)
+    pvalid = pvalid.astype(tx.dtype)
     w00 = (1 - tx) * (1 - ty) * pvalid
     w01 = tx * (1 - ty) * pvalid
     w10 = (1 - tx) * ty * pvalid
     w11 = tx * ty * pvalid
+    taps = taps.astype(w00.dtype)
     return (taps[..., 0] * w00 + taps[..., 1] * w01
             + taps[..., 2] * w10 + taps[..., 3] * w11)
 
@@ -127,7 +132,9 @@ def _sample_mask_points_taps(masks, qidx, coords):
 
 
 def sample_points_matmul(masks: jax.Array, coords: jax.Array,
-                         pair_chunk: int = 0) -> jax.Array:
+                         pair_chunk: int = 0,
+                         dtype=jnp.float32,
+                         precision=None) -> jax.Array:
     """Bilinear point_sample of per-pair masks as two tent-matrix
     contractions instead of per-point gathers.
 
@@ -146,22 +153,36 @@ def sample_points_matmul(masks: jax.Array, coords: jax.Array,
 
     pair_chunk bounds the materialized tent matrices ((chunk, pts, h+w)
     floats) via lax.map over pair blocks; 0 = no chunking.
+
+    dtype/precision control the tent+contraction arithmetic: the default
+    (fp32, HIGHEST) is numerically equivalent to the 4-tap gather form; the
+    uncertainty-SELECTION pass may use (bfloat16, default) — ~0.4% value
+    error only perturbs the top-k ranking among near-tied uncertainties,
+    no worse than the reference's own fp16 AMP forward (SOLVER.AMP
+    ENABLED, torch autocast around point_sample/topk).
     """
     p, h, w = masks.shape
     pts = coords.shape[1]
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
 
     def block(args):
         m, c = args  # (pc, h, w), (pc, pts, 2)
+        m = m.astype(dtype)
         fx = c[..., 0] * w - 0.5
         fy = c[..., 1] * h - 0.5
         ax = jnp.maximum(
-            0.0, 1.0 - jnp.abs(fx[..., None] - jnp.arange(w, dtype=m.dtype)))
+            0.0, 1.0 - jnp.abs(fx[..., None] - jnp.arange(w, dtype=jnp.float32))
+        ).astype(dtype)
         ay = jnp.maximum(
-            0.0, 1.0 - jnp.abs(fy[..., None] - jnp.arange(h, dtype=m.dtype)))
-        t = jnp.einsum("pyx,pix->piy", m, ax,
-                       precision=jax.lax.Precision.HIGHEST)
-        return jnp.einsum("piy,piy->pi", t, ay,
-                          precision=jax.lax.Precision.HIGHEST)
+            0.0, 1.0 - jnp.abs(fy[..., None] - jnp.arange(h, dtype=jnp.float32))
+        ).astype(dtype)
+        t = jnp.einsum("pyx,pix->piy", m, ax, precision=precision,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("piy,piy->pi", t.astype(dtype), ay,
+                          precision=precision,
+                          preferred_element_type=jnp.float32)
 
     if pair_chunk <= 0 or pair_chunk >= p:
         return block((masks, coords))
@@ -296,69 +317,114 @@ class SetCriterion:
 
     def _loss_masks_compact(self, pred_masks, qidx, gt_masks, valid,
                             num_masks, rng):
-        """loss_masks over a compacted static pair budget: valid (image, slot)
-        pairs across the batch are packed into max_pairs slots, then sampled
-        with the flat-batch form of sample_mask_points."""
-        b, q, h, w = pred_masks.shape
-        n = qidx.shape[1]
+        """Single-layer view of the stacked compact loss (L=1)."""
+        out = self.loss_masks_stacked(
+            pred_masks[None], qidx[None], gt_masks, valid, num_masks, rng)
+        return {k: v[0] for k, v in out.items()}
+
+    def loss_masks_stacked(self, pred_masks, qidx, gt_masks, valid,
+                           num_masks, rng):
+        """ALL deep-supervision layers' random-point mask losses in one
+        batched program (reference loss_masks :146-191 runs per layer; the
+        GT side and the pair compaction are layer-independent, so batching
+        the L layers shares them and collapses ~20 chunked sampling loops
+        into 3 — the unrolled form executed ~98k HLO events/step, which
+        dominated the step on this backend).
+
+        pred_masks: (L, B, Q, h, w); qidx: (L, B, N); gt_masks: (B, M, H, W)
+        (M == N or N % M == 0 — DN passes untiled GT); valid: (B, N).
+        Returns {"loss_mask": (L,), "loss_dice": (L,)}.
+
+        Stages, all exact w.r.t. the reference's point_rend sampling except
+        where noted:
+          1. shared compaction of valid (image, slot) pairs into P slots;
+          2. uncertainty SELECTION pass over 3x-oversampled random points —
+             tent-matmul in bf16 (ranking only; see sample_points_matmul);
+          3. exact top-k + random extras (reference
+             get_uncertain_point_coords_with_randomness);
+          4. GT labels: one shared per-pair 2x2-patch gather table (bf16,
+             exact for 0/1 masks), all L layers' coords folded into the
+             point dim;
+          5. final pred logits: tent-matmul fp32/HIGHEST (exact, and its
+             autodiff backward is a matmul — no scatter)."""
+        l, b, q, h, w = pred_masks.shape
+        n = qidx.shape[2]
         gh, gw = gt_masks.shape[2], gt_masks.shape[3]
-        p = self.max_pairs
+        gt_n = gt_masks.shape[1]
+        p = min(self.max_pairs, b * n) if self.max_pairs else b * n
 
         flat_valid = valid.reshape(-1)                        # (B*N,)
         order = jnp.argsort(~flat_valid, stable=True)         # valid first
         sel = order[:p]
         sel_b = (sel // n).astype(jnp.int32)
         sel_n = (sel % n).astype(jnp.int32)
-        pair_valid = flat_valid[sel][None]                    # (1, P)
-        sel_q = qidx.reshape(-1)[sel].astype(jnp.int32)       # matched query
-
-        pred_flat = pred_masks.reshape(1, b * q, h, w)
-        gt_flat = gt_masks.reshape(1, b * gt_masks.shape[1], gh, gw)
-        pred_idx = (sel_b * q + sel_q)[None]                  # (1, P)
-        gt_n = gt_masks.shape[1]
-        gt_idx = (sel_b * gt_n + sel_n % gt_n)[None]  # DN passes untiled GT
+        pair_valid = flat_valid[sel]                          # (P,)
+        sel_q = jnp.take_along_axis(
+            qidx.reshape(l, b * n), sel[None], axis=1).astype(jnp.int32)
+        pred_idx = sel_b[None] * q + sel_q                    # (L, P)
 
         k1, k2 = jax.random.split(rng)
         num_sampled = int(self.num_points * self.oversample_ratio)
         num_uncertain = int(self.importance_sample_ratio * self.num_points)
         num_random = self.num_points - num_uncertain
 
-        pred32 = pred_flat.astype(jnp.float32)
-        coords1 = jax.random.uniform(k1, (1, p, num_sampled, 2))
+        pred_rows = jnp.take_along_axis(
+            pred_masks.reshape(l, b * q, h * w), pred_idx[..., None], axis=1)
+        pred_rows = pred_rows.reshape(l * p, h, w).astype(jnp.float32)
 
+        coords1 = jax.random.uniform(k1, (l, p, num_sampled, 2))
         if self.point_matmul:
-            pred_pair = pred32[0][pred_idx[0]]  # (P, h, w) row gather
-
-            def sample_pred(c):  # (1, P, pts, 2) -> (1, P, pts)
-                pts = c.shape[2]
-                # bound tents ((chunk, pts, h+w) f32) to ~256 MB per block;
-                # checkpoint recomputes them in the matmul backward
-                chunk = max(1, 2 ** 26 // (pts * (h + w)))
-                return sample_points_matmul(
-                    pred_pair, c[0], pair_chunk=chunk)[None]
+            # ~256 MB of bf16 tents per block
+            chunk = max(1, 2 ** 27 // max(1, num_sampled * (h + w)))
+            logits1 = sample_points_matmul(
+                jax.lax.stop_gradient(pred_rows),
+                coords1.reshape(l * p, num_sampled, 2),
+                pair_chunk=chunk, dtype=jnp.bfloat16)
         else:
-            def sample_pred(c):
-                return sample_mask_points(pred32, pred_idx, c)
-
-        logits1 = sample_pred(coords1)
-        uncertainty = -jnp.abs(jax.lax.stop_gradient(logits1))
+            logits1 = sample_mask_points(
+                jax.lax.stop_gradient(pred_rows)[None], None,
+                coords1.reshape(1, l * p, num_sampled, 2))[0]
+        uncertainty = -jnp.abs(logits1).reshape(l, p, num_sampled)
         _, top = jax.lax.top_k(uncertainty, num_uncertain)
         uncertain_coords = jnp.take_along_axis(coords1, top[..., None], axis=2)
         if num_random > 0:
-            rand_coords = jax.random.uniform(k2, (1, p, num_random, 2))
+            rand_coords = jax.random.uniform(k2, (l, p, num_random, 2))
             coords = jnp.concatenate([uncertain_coords, rand_coords], axis=2)
         else:
             coords = uncertain_coords
-        coords = jax.lax.stop_gradient(coords)
+        coords = jax.lax.stop_gradient(coords)                # (L, P, pts, 2)
+        pts = coords.shape[2]
 
-        point_labels = jax.lax.stop_gradient(
-            sample_mask_points(gt_flat.astype(jnp.float32), gt_idx, coords))
-        point_logits = sample_pred(coords)
+        # GT rows are layer-independent: gather once, sample all L layers'
+        # coords against the shared bf16 patch table
+        gt_rows = gt_masks.reshape(b * gt_n, gh, gw)[
+            sel_b * gt_n + sel_n % gt_n]                      # (P, gh, gw)
+        coords_gt = jnp.moveaxis(coords, 0, 1).reshape(1, p, l * pts, 2)
+        point_labels = jax.lax.stop_gradient(sample_mask_points(
+            gt_rows[None].astype(jnp.bfloat16), None, coords_gt))
+        point_labels = jnp.moveaxis(
+            point_labels.reshape(p, l, pts), 1, 0)            # (L, P, pts)
+
+        if self.point_matmul:
+            chunk2 = max(1, 2 ** 26 // max(1, pts * (h + w)))
+            point_logits = sample_points_matmul(
+                pred_rows, coords.reshape(l * p, pts, 2),
+                pair_chunk=chunk2).reshape(l, p, pts)
+        else:
+            point_logits = sample_mask_points(
+                pred_rows[None], None,
+                coords.reshape(1, l * p, pts, 2)).reshape(l, p, pts)
+
+        # per-layer reductions (dice_loss / sigmoid_ce_loss semantics)
+        pv = jnp.broadcast_to(pair_valid[None], (l, p))
+        inputs = jax.nn.sigmoid(point_logits)
+        numer = 2 * (inputs * point_labels).sum(-1)
+        denom = inputs.sum(-1) + point_labels.sum(-1)
+        dice = 1 - (numer + 1) / (denom + 1)                  # (L, P)
+        ce = optax_sigmoid_ce(point_logits, point_labels).mean(-1)
         return {
-            "loss_mask": sigmoid_ce_loss(point_logits, point_labels,
-                                         pair_valid, num_masks),
-            "loss_dice": dice_loss(point_logits, point_labels,
-                                   pair_valid, num_masks),
+            "loss_mask": jnp.where(pv, ce, 0.0).sum(-1) / num_masks,
+            "loss_dice": jnp.where(pv, dice, 0.0).sum(-1) / num_masks,
         }
 
     # ------------------------------------------------------------------
@@ -498,7 +564,26 @@ class SetCriterion:
                 # scalar>1 the latter reads padding rows for groups >= 1
                 dn_ctx = self._make_grid_ctx(dn_targets.masks, dn_valid, hw)
 
-        def compute(out, qidx, suffix, rng_l):
+        num_layers = len(layer_outputs)
+
+        # random mode: ALL layers' mask losses in one stacked batched call
+        # (see loss_masks_stacked); grid mode keeps its dense per-layer form
+        stacked_main = stacked_dn = None
+        if "masks" in self.losses and not use_grid:
+            rng, rk, rk_dn = jax.random.split(rng, 3)
+            pred_l = jnp.stack([o["pred_masks"] for o in layer_outputs])
+            stacked_main = self.loss_masks_stacked(
+                pred_l, assignments, targets.masks, targets.valid,
+                num_masks, rk)
+            if dn_out is not None:
+                dn_pred_l = jnp.stack([o["pred_masks"] for o in dn_layers])
+                dn_qidx_l = jnp.broadcast_to(
+                    dn_qidx[None], (num_layers,) + dn_qidx.shape)
+                stacked_dn = self.loss_masks_stacked(
+                    dn_pred_l, dn_qidx_l, dn_gt_masks, dn_valid,
+                    dn_num_masks, rk_dn)
+
+        def compute(out, qidx, suffix, rng_l, li):
             d = {}
             if "labels" in self.losses:
                 d.update(self.loss_labels(
@@ -508,12 +593,10 @@ class SetCriterion:
                     d.update(self._loss_masks_grid(
                         out["pred_masks"], qidx, main_ctx, num_masks, rng_l))
                 else:
-                    d.update(self.loss_masks(
-                        out["pred_masks"], qidx, targets.masks, targets.valid,
-                        num_masks, rng_l))
+                    d.update({k: v[li] for k, v in stacked_main.items()})
             return {k + suffix: v for k, v in d.items()}
 
-        def compute_dn(out, suffix, rng_l):
+        def compute_dn(out, suffix, rng_l, li):
             d = {}
             if "labels" in self.losses:
                 d.update(self.loss_labels(out["pred_logits"], dn_qidx, dn_labels, dn_valid))
@@ -522,19 +605,16 @@ class SetCriterion:
                     d.update(self._loss_masks_grid(
                         out["pred_masks"], dn_qidx, dn_ctx, dn_num_masks, rng_l))
                 else:
-                    d.update(self.loss_masks(
-                        out["pred_masks"], dn_qidx, dn_gt_masks, dn_valid,
-                        dn_num_masks, rng_l))
+                    d.update({k: v[li] for k, v in stacked_dn.items()})
             return {k + "_dn" + suffix: v for k, v in d.items()}
 
-        num_layers = len(layer_outputs)
         rngs = jax.random.split(rng, 2 * num_layers)
         for li, out in enumerate(layer_outputs):
             last = li == num_layers - 1
             suffix = "" if last else f"_{li}"
-            losses.update(compute(out, assignments[li], suffix, rngs[2 * li]))
+            losses.update(compute(out, assignments[li], suffix, rngs[2 * li], li))
             if dn_out is not None:
-                losses.update(compute_dn(dn_layers[li], suffix, rngs[2 * li + 1]))
+                losses.update(compute_dn(dn_layers[li], suffix, rngs[2 * li + 1], li))
             else:
                 zero = jnp.zeros((), jnp.float32)
                 for k in ("loss_mask_dn", "loss_dice_dn", "loss_ce_dn"):

@@ -66,6 +66,20 @@ class VideoSetCriterion(SetCriterion):
         return super().loss_masks(
             pred_flat, qidx_t, gt_flat, valid_t, num_masks, rng)
 
+    def loss_masks_stacked(self, pred_masks, qidx, gt_masks, valid,
+                           num_masks, rng):
+        """Stacked form of the T-fold: pred (L, B, Q, T, h, w),
+        qidx (L, B, N), gt (B, N, T, H, W)."""
+        l, b, q, t, h, w = pred_masks.shape
+        n = qidx.shape[2]
+        pred_flat = pred_masks.reshape(l, b, q * t, h, w)
+        qidx_t = (qidx[..., None] * t
+                  + jnp.arange(t, dtype=qidx.dtype)).reshape(l, b, n * t)
+        gt_flat = gt_masks.reshape(b, n * t, *gt_masks.shape[3:])
+        valid_t = jnp.broadcast_to(valid[:, :, None], (b, n, t)).reshape(b, n * t)
+        return super().loss_masks_stacked(
+            pred_flat, qidx_t, gt_flat, valid_t, num_masks, rng)
+
     def __call__(self, outputs: Dict, targets: VideoTargets, rng,
                  num_masks=None) -> Dict:
         # reuse the image criterion driver: Targets carries (labels, masks,

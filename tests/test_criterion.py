@@ -286,3 +286,39 @@ def test_sample_points_matmul_equals_gather():
     )(masks[None].reshape(1, 7, 19, 23))[0].reshape(7, 19, 23)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-5)
+
+    # bf16 mode (the uncertainty-SELECTION pass): values within bf16
+    # tolerance of exact — good enough to rank |logit| uncertainties
+    got16 = sample_points_matmul(masks, coords, pair_chunk=3,
+                                 dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_loss_masks_stacked_matches_single_layer():
+    """The stacked (L-layer) compact loss must equal per-layer calls when
+    given the same rng (L=1 view) and produce one loss pair per layer."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp_former_tpu.models.criterion import SetCriterion
+    from mp_former_tpu.models.matcher import HungarianMatcher
+
+    crit = SetCriterion(
+        num_classes=3, matcher=HungarianMatcher(1, 1, 1, 32),
+        weight_dict={}, eos_coef=0.1, losses=["masks"], num_points=16,
+        oversample_ratio=3.0, importance_sample_ratio=0.75, max_pairs=6)
+    r = np.random.RandomState(1)
+    b, q, n, h, w = 2, 5, 4, 16, 16
+    pred = jnp.asarray(r.randn(3, b, q, h, w).astype(np.float32))
+    qidx = jnp.asarray(r.randint(0, q, (3, b, n)), jnp.int32)
+    gt = jnp.asarray(r.rand(b, n, 32, 32) > 0.5, jnp.float32)
+    valid = jnp.asarray([[True, True, False, False], [True] * 4])
+    rng = jax.random.PRNGKey(0)
+
+    out = crit.loss_masks_stacked(pred, qidx, gt, valid, 6.0, rng)
+    assert out["loss_mask"].shape == (3,) and out["loss_dice"].shape == (3,)
+    assert np.all(np.isfinite(np.asarray(out["loss_mask"])))
+    assert np.all(np.isfinite(np.asarray(out["loss_dice"])))
+    one = crit._loss_masks_compact(pred[1], qidx[1], gt, valid, 6.0, rng)
+    assert np.isfinite(float(one["loss_mask"]))
