@@ -278,6 +278,12 @@ def add_maskformer2_config(cfg: CN) -> None:
     # ns/row on TPU — 5.2 s/step at B=8/512px). Numerically equivalent to
     # the 4-tap form (fp32 HIGHEST matmuls, ~1e-6); False restores gathers.
     cfg.TPU.POINT_MATMUL_SAMPLING = True
+    # exact Hungarian matching via a host scipy solve between a jitted cost
+    # pass and the jitted grad pass (the reference's CPU hop,
+    # matcher.py:84-107 under no_grad; axon rejects in-jit host callbacks).
+    # Costs ~1 extra forward per step — an A/B tool for bounding the
+    # on-device auction's 1-5% cost suboptimality, not a fast path.
+    cfg.TPU.MATCHER_HOST_EXACT = False
     # roll the deformable encoder's identical layers into one lax.scan
     # (stacked params, one while-loop on device). Same math — the unrolled
     # form pays per-HLO dispatch overhead on this remote backend (~0.1 ms/op

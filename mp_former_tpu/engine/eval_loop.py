@@ -216,11 +216,9 @@ def run_evaluation(cfg, model, params, dataset_name: str,
     topk = cfg.TEST.DETECTIONS_PER_IMAGE
     tasks = evset.tasks
 
-    nproc = jax.process_count()
-    if nproc > 1:
-        # d2 shards records round-robin over ranks; mirror that per process
-        records = records[jax.process_index()::nproc]
+    from ..parallel.dist import resolve_eval_mesh, sharded_eval_loop
 
+    mesh = resolve_eval_mesh(mesh)
     fwd = _eval_forward(model)
 
     def postprocess(rec, sample, logits0, masks0):
@@ -251,61 +249,36 @@ def run_evaluation(cfg, model, params, dataset_name: str,
                         (time.perf_counter() - t0) / n)
 
     n_dev = int(mesh.devices.size) if mesh is not None else 1
-    if mesh is not None and n_dev > 1:
+    if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data_s = NamedSharding(mesh, P("data"))
-        params_rep = jax.device_put(params, NamedSharding(mesh, P()))
-
-        def flush(items):
-            nonlocal n
-            k = len(items)
-            imgs = np.stack([s["image"] for _, s in items]
-                            + [items[-1][1]["image"]] * (n_dev - k))
-            logits, masks = fwd(params_rep, jax.device_put(imgs, data_s))
-            logits, masks = np.asarray(logits), np.asarray(masks)
-            for i, (rec, sample) in enumerate(items):
-                postprocess(rec, sample, logits[i], masks[i])
-                n += 1
-                tick()
-
-        # group mapped samples by canvas shape so one (D, H, W, 3) stack is
-        # legal; partial groups flush padded with a repeated last canvas
-        # (pad outputs discarded)
-        groups: Dict[tuple, list] = {}
-        done = 0
-        for rec in records:
-            if max_images is not None and done >= max_images:
-                break
-            sample = mapper(rec)
-            if sample is None:
-                continue
-            done += 1
-            key = sample["image"].shape
-            groups.setdefault(key, []).append((rec, sample))
-            if len(groups[key]) == n_dev:
-                flush(groups.pop(key))
-        for items in groups.values():
-            flush(items)
+        params_put = jax.device_put(params, NamedSharding(mesh, P()))
     else:
-        for rec in records:
-            if max_images is not None and n >= max_images:
-                break
-            sample = mapper(rec)
-            if sample is None:
-                continue
-            logits, masks = fwd(params, jnp.asarray(sample["image"][None]))
-            postprocess(rec, sample, np.asarray(logits[0]),
-                        np.asarray(masks[0]))
+        params_put = params
+
+    def flush(items):
+        nonlocal n
+        k = len(items)
+        imgs = np.stack([s["image"] for _, s in items]
+                        + [items[-1][1]["image"]] * (n_dev - k))
+        imgs = (jax.device_put(imgs, data_s) if n_dev > 1
+                else jnp.asarray(imgs))
+        logits, masks = fwd(params_put, imgs)
+        logits, masks = np.asarray(logits), np.asarray(masks)
+        for i, (rec, sample) in enumerate(items):
+            postprocess(rec, sample, logits[i], masks[i])
             n += 1
             tick()
 
-    if nproc > 1:
-        from ..parallel.dist import all_gather_objects
+    def map_fn(rec):
+        sample = mapper(rec)
+        return None if sample is None else (rec, sample)
 
-        for i, other in enumerate(all_gather_objects(evset)):
-            if i != jax.process_index():
-                evset.merge_from(other)
+    sharded_eval_loop(
+        records, evset, map_fn,
+        key_fn=lambda item: item[1]["image"].shape,
+        flush_fn=flush, n_dev=n_dev, max_records=max_images)
 
     results = evset.evaluate()
     logger.info("evaluated %d images on %s: %s", n, dataset_name, results)

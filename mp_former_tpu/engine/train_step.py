@@ -52,11 +52,14 @@ def compute_dn_groups(scalar: int, valid) -> Optional[tuple]:
 
 
 def make_train_step(model, criterion, tx, donate: bool = True):
-    """Returns jitted train_step(state, batch, rng, dn_groups=None)
-    -> (state, metrics). dn_groups is static (see compute_dn_groups)."""
+    """Returns jitted train_step(state, batch, rng, dn_groups=None,
+    assignments=None) -> (state, metrics). dn_groups is static (see
+    compute_dn_groups); assignments (L, B, N) comes from the host-exact
+    two-phase mode (make_cost_step) and skips the in-program matcher."""
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array,
-                   dn_groups: Optional[int] = None):
+                   dn_groups: Optional[int] = None,
+                   assignments: Optional[jax.Array] = None):
         rng_dn, rng_drop, rng_loss = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
         # global valid-instance count (reference all_reduce, criterion.py:235-237)
@@ -67,7 +70,8 @@ def make_train_step(model, criterion, tx, donate: bool = True):
             outputs = model.apply(
                 {"params": params}, batch.images, batch.targets, train=True,
                 dn_groups=dn_groups, rngs={"dn": rng_dn, "dropout": rng_drop})
-            losses = criterion(outputs, batch.targets, rng_loss, num_masks=num_masks)
+            losses = criterion(outputs, batch.targets, rng_loss,
+                               num_masks=num_masks, assignments=assignments)
             total = criterion.weighted_total(losses)
             return total, losses
 
@@ -79,5 +83,33 @@ def make_train_step(model, criterion, tx, donate: bool = True):
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
                    static_argnames=("dn_groups",))
+
+
+def make_cost_step(model, criterion):
+    """Phase A of the host-exact matcher mode (the reference solves its LSA
+    on the host CPU every step — matcher.py runs under no_grad on detached
+    costs; this TPU runtime rejects host callbacks inside jit, so the hop
+    is two jitted programs around a host scipy solve):
+
+        costs = cost_step(state, batch, rng, dn_groups)   # (L, B, Q, N)
+        assignments = solve on host (models.matcher._lsa_host)
+        state, m = train_step(..., assignments=assignments)
+
+    The rng folding mirrors train_step EXACTLY (fold_in(step) -> split 3 ->
+    dn/dropout/loss; layer_costs consumes rng_loss identically), so the
+    forward in phase B reproduces the same DN noise and the same matcher
+    point draws — the costs solved on host are the costs that forward sees."""
+
+    def cost_step(state: TrainState, batch: Batch, rng: jax.Array,
+                  dn_groups: Optional[int] = None):
+        rng_dn, rng_drop, rng_loss = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+        outputs = model.apply(
+            {"params": state.params}, batch.images, batch.targets, train=True,
+            dn_groups=dn_groups, rngs={"dn": rng_dn, "dropout": rng_drop})
+        costs, _ = criterion.layer_costs(outputs, batch.targets, rng_loss)
+        return costs
+
+    return jax.jit(cost_step, static_argnames=("dn_groups",))
 
 

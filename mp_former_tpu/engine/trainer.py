@@ -65,6 +65,15 @@ class Trainer:
             self.tx = build_optimizer(cfg, params)
             self.state = self._replicate(create_train_state(params, self.tx))
         self.train_step = make_train_step(self.model, self.criterion, self.tx)
+        # host-exact matching: solve the LSA with scipy on host between a
+        # cost pass and the grad pass (reference's CPU hop; axon has no
+        # in-jit host callbacks). ~1 extra forward per step — A/B tool for
+        # bounding the on-device auction's suboptimality, not a fast path.
+        self.host_exact = bool(cfg.TPU.MATCHER_HOST_EXACT)
+        if self.host_exact:
+            from .train_step import make_cost_step
+
+            self.cost_step = make_cost_step(self.model, self.criterion)
         self._first_batch = batch
 
         self._ckpt_mgr = None
@@ -134,8 +143,18 @@ class Trainer:
 
                 dn_groups = compute_dn_groups(
                     getattr(self.model, "scalar", 0), batch.targets.valid)
+                assignments = None
+                if self.host_exact:
+                    from ..models.matcher import _lsa_host
+
+                    costs = np.asarray(self.cost_step(
+                        self.state, sharded, self.rng, dn_groups=dn_groups))
+                    l, b, q, n = costs.shape
+                    assignments = jnp.asarray(_lsa_host(
+                        costs.reshape(l * b, q, n)).reshape(l, b, n))
                 state, metrics = self.train_step(
-                    self.state, sharded, self.rng, dn_groups=dn_groups)
+                    self.state, sharded, self.rng, dn_groups=dn_groups,
+                    assignments=assignments)
                 self.state = state
                 t0 = time.perf_counter()
                 batch = next(it)  # overlap host data with device compute
@@ -185,7 +204,8 @@ class Trainer:
 
                     r = inference_on_video_dataset(
                         self.cfg, self.model, {"params": self.state.params},
-                        DatasetCatalog.get(name), max_images)
+                        DatasetCatalog.get(name), max_images,
+                        mesh=self.mesh)
                 else:
                     r = run_evaluation(
                         self.cfg, self.model, {"params": self.state.params},

@@ -282,38 +282,12 @@ class SetCriterion:
 
     def loss_masks(self, pred_masks, qidx, gt_masks, valid, num_masks, rng):
         """Point-sampled CE + dice with uncertainty-based oversampling
-        (reference :146-191, point_rend get_uncertain_point_coords_with_randomness)."""
-        if self.max_pairs and self.max_pairs < qidx.shape[0] * qidx.shape[1]:
-            return self._loss_masks_compact(
-                pred_masks, qidx, gt_masks, valid, num_masks, rng)
-        b, _, h, w = pred_masks.shape
-        n = qidx.shape[1]
-        k1, k2 = jax.random.split(rng)
-        num_sampled = int(self.num_points * self.oversample_ratio)
-        num_uncertain = int(self.importance_sample_ratio * self.num_points)
-        num_random = self.num_points - num_uncertain
-
-        pred32 = pred_masks.astype(jnp.float32)
-        coords1 = jax.random.uniform(k1, (b, n, num_sampled, 2))
-        logits1 = sample_mask_points(pred32, qidx, coords1)
-        uncertainty = -jnp.abs(jax.lax.stop_gradient(logits1))
-        _, top = jax.lax.top_k(uncertainty, num_uncertain)  # (B, N, num_uncertain)
-        uncertain_coords = jnp.take_along_axis(coords1, top[..., None], axis=2)
-        if num_random > 0:
-            rand_coords = jax.random.uniform(k2, (b, n, num_random, 2))
-            coords = jnp.concatenate([uncertain_coords, rand_coords], axis=2)
-        else:
-            coords = uncertain_coords
-        coords = jax.lax.stop_gradient(coords)
-
-        point_labels = jax.lax.stop_gradient(
-            sample_mask_points(gt_masks.astype(jnp.float32), None, coords))
-        point_logits = sample_mask_points(pred32, qidx, coords)
-
-        return {
-            "loss_mask": sigmoid_ce_loss(point_logits, point_labels, valid, num_masks),
-            "loss_dice": dice_loss(point_logits, point_labels, valid, num_masks),
-        }
+        (reference :146-191, point_rend
+        get_uncertain_point_coords_with_randomness). Single-layer view of
+        loss_masks_stacked — the __call__ driver batches all layers; this
+        stays as the per-layer API (video T-fold override, tests)."""
+        return self._loss_masks_compact(
+            pred_masks, qidx, gt_masks, valid, num_masks, rng)
 
     def _loss_masks_compact(self, pred_masks, qidx, gt_masks, valid,
                             num_masks, rng):
@@ -499,32 +473,49 @@ class SetCriterion:
         }
 
     # ------------------------------------------------------------------
+    def layer_costs(self, outputs: Dict, targets: Targets, rng: jax.Array):
+        """(L, B, Q, N) matcher cost stack for all deep-supervision layers —
+        one batched LSA input (matcher rngs differ per layer, mirroring the
+        reference's independent rand draws per matcher call). Shared by
+        __call__ and the host-exact two-phase step (engine/train_step.py
+        make_cost_step), which MUST consume rng identically."""
+        layer_outputs = outputs["aux_outputs"] + [outputs]
+        rng, *mrngs = jax.random.split(rng, len(layer_outputs) + 1)
+        costs = jnp.stack([
+            self.matcher.cost(o["pred_logits"], o["pred_masks"], targets, r)
+            for o, r in zip(layer_outputs, mrngs)
+        ])  # (L, B, Q, N)
+        return costs, rng
+
     def __call__(
         self,
         outputs: Dict,
         targets: Targets,
         rng: jax.Array,
         num_masks: Optional[jax.Array] = None,
+        assignments: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         """Returns the full (unweighted) loss dict with reference key names.
         `num_masks` may be supplied pre-psummed by the trainer (reference
-        all-reduces it, :235-237)."""
+        all-reduces it, :235-237). `assignments` (L, B, N) skips the
+        in-program matcher — the host-exact two-phase step solves the LSA
+        with scipy between the cost and grad passes (the reference's own
+        CPU hop; this TPU runtime rejects host callbacks inside jit)."""
         if num_masks is None:
             num_masks = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
 
         dn_out = outputs.get("dn_out")
         layer_outputs = outputs["aux_outputs"] + [outputs]
 
-        # one batched LSA for all layers (matcher rngs differ per layer,
-        # mirroring the reference's independent rand draws per matcher call)
-        rng, *mrngs = jax.random.split(rng, len(layer_outputs) + 1)
-        costs = jnp.stack([
-            self.matcher.cost(o["pred_logits"], o["pred_masks"], targets, r)
-            for o, r in zip(layer_outputs, mrngs)
-        ])  # (L, B, Q, N)
-        col_valid = jnp.broadcast_to(
-            targets.valid[None], (len(layer_outputs),) + targets.valid.shape)
-        assignments = hungarian_assign(costs, col_valid=col_valid)  # (L, B, N)
+        if assignments is None:
+            costs, rng = self.layer_costs(outputs, targets, rng)
+            col_valid = jnp.broadcast_to(
+                targets.valid[None], (len(layer_outputs),) + targets.valid.shape)
+            assignments = hungarian_assign(costs, col_valid=col_valid)  # (L, B, N)
+        else:
+            # consume rng exactly as layer_costs would, so the downstream
+            # point-sampling draws match the single-phase step
+            rng = jax.random.split(rng, len(layer_outputs) + 1)[0]
 
         # DN tiled targets + identity indices (reference :248-258). The
         # decoder may compact the DN block to TPU.DN_MAX_GT slots (targets

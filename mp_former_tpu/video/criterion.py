@@ -117,4 +117,5 @@ def build_video_criterion(cfg) -> VideoSetCriterion:
         # assumes 4D pred_masks), so video stays on the reference-exact
         # random-point path
         max_pairs=cfg.TPU.MAX_PAIRS,
-        point_sample_mode="random")
+        point_sample_mode="random",
+        point_matmul=cfg.TPU.POINT_MATMUL_SAMPLING)

@@ -111,9 +111,9 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
     pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
 
-    nproc = jax.process_count()
-    iter_records = (records[jax.process_index()::nproc] if nproc > 1
-                    else records)
+    from ..parallel.dist import resolve_eval_mesh, sharded_eval_loop
+
+    mesh = resolve_eval_mesh(mesh)
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -182,28 +182,10 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
                               [tubes[j] for j in range(tubes.shape[0])])
             n += 1
 
-    groups: dict = {}
-    done = 0
-    for rec in iter_records:
-        if max_videos is not None and done >= max_videos:
-            break
-        it = prep(rec)
-        if it is None:
-            continue
-        done += 1
-        key = (it["t_pad"],) + it["clip"].shape
-        groups.setdefault(key, []).append(it)
-        if len(groups[key]) == max(n_dev, 1):
-            flush(groups.pop(key))
-    for items in groups.values():
-        flush(items)
-
-    if nproc > 1:
-        from ..parallel.dist import all_gather_objects
-
-        for i, other in enumerate(all_gather_objects(evaluator)):
-            if i != jax.process_index():
-                evaluator.merge_from(other)
+    sharded_eval_loop(
+        records, evaluator, prep,
+        key_fn=lambda it: (it["t_pad"],) + it["clip"].shape,
+        flush_fn=flush, n_dev=n_dev, max_records=max_videos)
 
     results = evaluator.evaluate()
     logger.info("evaluated %d videos: %s", n, results)

@@ -295,30 +295,66 @@ def test_sample_points_matmul_equals_gather():
                                rtol=0.05, atol=0.05)
 
 
-def test_loss_masks_stacked_matches_single_layer():
-    """The stacked (L-layer) compact loss must equal per-layer calls when
-    given the same rng (L=1 view) and produce one loss pair per layer."""
+def test_loss_masks_stacked_matches_dense_oracle():
+    """Independent check of the stacked loss's per-layer indexing, pair
+    compaction, shared GT table, and reductions. With oversample_ratio=1
+    and importance_sample_ratio=1 the uncertainty top-k selects ALL sampled
+    points (a permutation), and CE-mean/dice are permutation-invariant —
+    so the loss is fully determined by the coords1 draw, which the test
+    reproduces to compute each layer's losses densely from first
+    principles."""
     import jax
     import jax.numpy as jnp
 
-    from mp_former_tpu.models.criterion import SetCriterion
+    from mp_former_tpu.models.criterion import (SetCriterion,
+                                                sample_mask_points)
     from mp_former_tpu.models.matcher import HungarianMatcher
 
+    num_points, p = 16, 6
     crit = SetCriterion(
         num_classes=3, matcher=HungarianMatcher(1, 1, 1, 32),
-        weight_dict={}, eos_coef=0.1, losses=["masks"], num_points=16,
-        oversample_ratio=3.0, importance_sample_ratio=0.75, max_pairs=6)
+        weight_dict={}, eos_coef=0.1, losses=["masks"],
+        num_points=num_points,
+        oversample_ratio=1.0, importance_sample_ratio=1.0, max_pairs=p)
     r = np.random.RandomState(1)
-    b, q, n, h, w = 2, 5, 4, 16, 16
-    pred = jnp.asarray(r.randn(3, b, q, h, w).astype(np.float32))
-    qidx = jnp.asarray(r.randint(0, q, (3, b, n)), jnp.int32)
+    l, b, q, n, h, w = 3, 2, 5, 4, 16, 16
+    pred = jnp.asarray(r.randn(l, b, q, h, w).astype(np.float32))
+    qidx = jnp.asarray(r.randint(0, q, (l, b, n)), jnp.int32)
     gt = jnp.asarray(r.rand(b, n, 32, 32) > 0.5, jnp.float32)
     valid = jnp.asarray([[True, True, False, False], [True] * 4])
+    num_masks = 6.0
     rng = jax.random.PRNGKey(0)
 
-    out = crit.loss_masks_stacked(pred, qidx, gt, valid, 6.0, rng)
-    assert out["loss_mask"].shape == (3,) and out["loss_dice"].shape == (3,)
-    assert np.all(np.isfinite(np.asarray(out["loss_mask"])))
-    assert np.all(np.isfinite(np.asarray(out["loss_dice"])))
-    one = crit._loss_masks_compact(pred[1], qidx[1], gt, valid, 6.0, rng)
-    assert np.isfinite(float(one["loss_mask"]))
+    out = crit.loss_masks_stacked(pred, qidx, gt, valid, num_masks, rng)
+    assert out["loss_mask"].shape == (l,) and out["loss_dice"].shape == (l,)
+
+    # --- dense oracle -------------------------------------------------
+    k1, _ = jax.random.split(rng)          # same key path as the impl
+    coords1 = jax.random.uniform(k1, (l, p, num_points, 2))
+    flat_valid = np.asarray(valid).reshape(-1)
+    order = np.argsort(~flat_valid, kind="stable")
+    sel = order[:p]
+    sel_b, sel_n = sel // n, sel % n
+    for li in range(l):
+        ce_sum, dice_sum = 0.0, 0.0
+        for s in range(p):
+            if not flat_valid[sel[s]]:
+                continue
+            qi = int(np.asarray(qidx)[li, sel_b[s], sel_n[s]])
+            logits = sample_mask_points(
+                pred[li, sel_b[s], qi][None, None], None,
+                coords1[li, s][None, None])[0, 0]
+            labels = sample_mask_points(
+                gt[sel_b[s], sel_n[s]][None, None], None,
+                coords1[li, s][None, None])[0, 0]
+            lg, lb = np.asarray(logits, np.float64), np.asarray(labels, np.float64)
+            ce = np.maximum(lg, 0) - lg * lb + np.log1p(np.exp(-np.abs(lg)))
+            ce_sum += ce.mean()
+            sig = 1 / (1 + np.exp(-lg))
+            dice_sum += 1 - (2 * (sig * lb).sum() + 1) / (sig.sum() + lb.sum() + 1)
+        np.testing.assert_allclose(
+            float(out["loss_mask"][li]), ce_sum / num_masks,
+            rtol=1e-4, atol=1e-5, err_msg=f"loss_mask layer {li}")
+        np.testing.assert_allclose(
+            float(out["loss_dice"][li]), dice_sum / num_masks,
+            rtol=1e-4, atol=1e-5, err_msg=f"loss_dice layer {li}")

@@ -90,3 +90,43 @@ def test_mesh4_matches_mesh1():
     loss4, leaf4 = _run(4)
     assert abs(loss1 - loss4) / max(abs(loss1), 1) < 5e-4, (loss1, loss4)
     np.testing.assert_allclose(leaf1, leaf4, rtol=2e-3, atol=2e-5)
+
+
+def test_host_exact_two_phase_matches_single_phase():
+    """The host-exact matcher mode (make_cost_step -> host scipy ->
+    train_step(assignments=...)) must reproduce the single-phase step
+    exactly on CPU, where the in-jit matcher already uses the same scipy
+    solver: identical rng folding -> identical costs -> identical
+    assignments -> identical losses and updated params."""
+    from mp_former_tpu.engine.train_step import make_cost_step
+    from mp_former_tpu.models.matcher import _lsa_host
+
+    cfg = _setup(1)
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    batch = _batch()
+    mesh = create_mesh(cfg)
+    with jax.set_mesh(mesh):
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            batch.images, batch.targets, train=True)["params"]
+        tx = build_optimizer(cfg, params)
+        state = replicate(mesh, create_train_state(params, tx))
+        sharded = shard_batch(mesh, batch)
+        step = make_train_step(model, criterion, tx, donate=False)
+        rng = jax.random.PRNGKey(3)
+
+        _, metrics1 = step(state, sharded, rng)
+
+        cost_step = make_cost_step(model, criterion)
+        costs = np.asarray(cost_step(state, sharded, rng))
+        l, b, q, n = costs.shape
+        assignments = jnp.asarray(
+            _lsa_host(costs.reshape(l * b, q, n)).reshape(l, b, n))
+        _, metrics2 = step(state, sharded, rng, assignments=assignments)
+
+    for k in metrics1:
+        np.testing.assert_allclose(
+            float(metrics1[k]), float(metrics2[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k)

@@ -11,9 +11,11 @@
 #                  (reference-exact loss: criterion.py:162-187 semantics)
 #   tpu_headshare  HEADSHARE + grid        (the TPU-optimized engine; a
 #                  trained-from-scratch deviation — measures its AP cost)
-#   scipy_matcher  packed2x2 + grid + MPFORMER_LSA=scipy (exact Hungarian
-#                  via host callback vs the on-device auction default —
-#                  bounds the auction's 1-5% cost-suboptimality AP effect)
+#   scipy_matcher  packed2x2 + grid + TPU.MATCHER_HOST_EXACT (exact scipy
+#                  Hungarian via the two-phase host hop vs the on-device
+#                  auction default — bounds the auction's 1-5%
+#                  cost-suboptimality AP effect; axon rejects in-jit host
+#                  callbacks, so MPFORMER_LSA=scipy cannot run on the TPU)
 #
 # Usage: DETECTRON2_DATASETS=/tmp/synth tools/ab_synthetic.sh <arm> [outdir]
 # One arm at a time — never run two TPU processes at once.
@@ -29,7 +31,7 @@ case "$ARM" in
   ref_random)    OVERRIDES+=(TPU.POINT_SAMPLE_MODE random) ;;
   tpu_headshare) OVERRIDES+=(TPU.SAMPLING_ENGINE headshare
                              TPU.PALLAS_TAP_WEIGHTING True) ;;
-  scipy_matcher) export MPFORMER_LSA=scipy ;;
+  scipy_matcher) OVERRIDES+=(TPU.MATCHER_HOST_EXACT True) ;;
   *) echo "unknown arm $ARM" >&2; exit 2 ;;
 esac
 

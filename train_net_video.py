@@ -69,9 +69,12 @@ def main(args):
         if cfg.MODEL.WEIGHTS:
             params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS,
                                                        params["params"])}
-        # whole-clip inference (reference video_maskformer_model.py:255-287)
+        # whole-clip inference (reference video_maskformer_model.py:255-287);
+        # device-sharded over the data mesh when it has >1 device
+        from mp_former_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(cfg) if len(jax.devices()) > 1 else None
         results = inference_on_video_dataset(
-            cfg, model, params, records, args.max_eval_videos)
+            cfg, model, params, records, args.max_eval_videos, mesh=mesh)
         print(results)
         return results
 
