@@ -23,6 +23,9 @@ def main():
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--instances", type=int, default=100)
+    p.add_argument("--config", default="",
+                   help="optional config yaml merged over the flagship "
+                        "recipe (e.g. a Swin backbone config)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = p.parse_args()
 
@@ -41,6 +44,8 @@ def main():
     from mp_former_tpu.structures import Targets
 
     cfg = _flagship_cfg()
+    if args.config:
+        cfg.merge_from_file(args.config)
     cfg.merge_from_list(args.opts or [])
     model = build_model(cfg)
     criterion = build_criterion(cfg)
