@@ -81,13 +81,14 @@ class VideoSetCriterion(SetCriterion):
             pred_flat, qidx_t, gt_flat, valid_t, num_masks, rng)
 
     def __call__(self, outputs: Dict, targets: VideoTargets, rng,
-                 num_masks=None) -> Dict:
+                 num_masks=None, assignments=None) -> Dict:
         # reuse the image criterion driver: Targets carries (labels, masks,
         # boxes, valid); boxes unused by losses
         tgt = Targets(labels=targets.labels, masks=targets.masks,
                       boxes=jnp.zeros(targets.labels.shape + (4,), jnp.float32),
                       valid=targets.valid)
-        return super().__call__(outputs, tgt, rng, num_masks)
+        return super().__call__(outputs, tgt, rng, num_masks,
+                                assignments=assignments)
 
 
 def build_video_criterion(cfg) -> VideoSetCriterion:
