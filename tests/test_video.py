@@ -332,3 +332,53 @@ def test_video_eval_sharded_matches_single(tmp_path):
         if np.isnan(a) and np.isnan(b):
             continue
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_video_criterion_accepts_external_assignments():
+    """The unified Trainer always forwards assignments= (host-exact scipy
+    matcher path, engine/trainer.py:146-157); the video criterion must
+    accept it. Passing the same assignments the in-program matcher would
+    compute must reproduce the default path exactly (rng is consumed
+    identically on both sides, models/criterion.py:516-518)."""
+    from mp_former_tpu.models.matcher import hungarian_assign
+
+    cfg = _video_cfg()
+    model = build_model(cfg)
+    b, t, h, w = 1, 2, 64, 64
+    rng = np.random.RandomState(3)
+    clips = jnp.asarray(rng.rand(b, t, h, w, 3).astype(np.float32) * 255)
+    params = model.init({"params": jax.random.PRNGKey(0)}, clips, None,
+                        train=False)
+    out = model.apply(params, clips, None, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(5)})
+
+    n = 4
+    masks = np.zeros((b, n, t, h, w), bool)
+    masks[:, 0, :, 8:40, 8:40] = True
+    masks[:, 1, 1, 16:48, 16:48] = True
+    targets = VideoTargets(
+        labels=jnp.asarray(rng.randint(0, 5, (b, n)), jnp.int32),
+        masks=jnp.asarray(masks),
+        valid=jnp.asarray([[True, True, False, False]]),
+    )
+    criterion = build_video_criterion(cfg)
+    key = jax.random.PRNGKey(7)
+    base = criterion(out, targets, key)
+
+    # reproduce the in-program assignment externally (trainer cost pass)
+    from mp_former_tpu.structures import Targets
+    tgt = Targets(labels=targets.labels,
+                  masks=targets.masks,
+                  boxes=jnp.zeros(targets.labels.shape + (4,), jnp.float32),
+                  valid=targets.valid)
+    costs, _ = criterion.layer_costs(out, tgt, key)
+    col_valid = jnp.broadcast_to(
+        targets.valid[None], (costs.shape[0],) + targets.valid.shape)
+    assignments = hungarian_assign(costs, col_valid=col_valid)
+
+    ext = criterion(out, targets, key, assignments=assignments)
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(ext[k]), rtol=1e-6,
+            err_msg=f"loss {k} differs between in-program and external "
+                    "assignments")
