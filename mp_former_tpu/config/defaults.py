@@ -278,6 +278,13 @@ def add_maskformer2_config(cfg: CN) -> None:
     # ns/row on TPU — 5.2 s/step at B=8/512px). Numerically equivalent to
     # the 4-tap form (fp32 HIGHEST matmuls, ~1e-6); False restores gathers.
     cfg.TPU.POINT_MATMUL_SAMPLING = True
+    # gradient accumulation: split each batch into N micro-batches inside
+    # the jitted step (lax.scan) and apply ONE optimizer update on the
+    # accumulated gradients. Activation memory scales with B/N — the
+    # published bs16@1024 recipe's fallback on a single 16GB chip.
+    # Mask/dice losses stay exact (global num_masks normalization);
+    # loss_ce* become the standard per-micro-mean approximation.
+    cfg.TPU.GRAD_ACCUM_STEPS = 1
     # exact Hungarian matching via a host scipy solve between a jitted cost
     # pass and the jitted grad pass (the reference's CPU hop,
     # matcher.py:84-107 under no_grad; axon rejects in-jit host callbacks).

@@ -51,11 +51,25 @@ def compute_dn_groups(scalar: int, valid) -> Optional[tuple]:
     return max(1, scalar // m), m
 
 
-def make_train_step(model, criterion, tx, donate: bool = True):
+def make_train_step(model, criterion, tx, donate: bool = True,
+                    accum: int = 1):
     """Returns jitted train_step(state, batch, rng, dn_groups=None,
     assignments=None) -> (state, metrics). dn_groups is static (see
     compute_dn_groups); assignments (L, B, N) comes from the host-exact
-    two-phase mode (make_cost_step) and skips the in-program matcher."""
+    two-phase mode (make_cost_step) and skips the in-program matcher.
+
+    accum > 1 (TPU.GRAD_ACCUM_STEPS) splits the batch into `accum`
+    micro-batches and lax.scans the forward/backward, accumulating
+    gradients before ONE optimizer update — activation memory scales with
+    B/accum, letting the published bs16@1024 recipe shapes run on one
+    chip. Semantics vs the monolithic step: mask/dice losses are EXACT
+    (each micro term is normalized by the GLOBAL num_masks, reference
+    all_reduce criterion.py:235-237, so the micro sums equal the
+    full-batch loss); loss_ce* are weighted means over their micro-batch
+    and are averaged across micro-batches — exact when micro-batches have
+    equal no-object weight mass, the standard grad-accumulation
+    approximation otherwise. Matching stays per-image, so assignments are
+    unaffected by the split."""
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array,
                    dn_groups: Optional[int] = None,
@@ -66,16 +80,75 @@ def make_train_step(model, criterion, tx, donate: bool = True):
         num_masks = jnp.maximum(
             batch.targets.valid.sum().astype(jnp.float32), 1.0)
 
-        def loss_fn(params):
-            outputs = model.apply(
-                {"params": params}, batch.images, batch.targets, train=True,
-                dn_groups=dn_groups, rngs={"dn": rng_dn, "dropout": rng_drop})
-            losses = criterion(outputs, batch.targets, rng_loss,
-                               num_masks=num_masks, assignments=assignments)
-            total = criterion.weighted_total(losses)
-            return total, losses
+        if accum == 1:
+            def loss_fn(params):
+                outputs = model.apply(
+                    {"params": params}, batch.images, batch.targets,
+                    train=True, dn_groups=dn_groups,
+                    rngs={"dn": rng_dn, "dropout": rng_drop})
+                losses = criterion(outputs, batch.targets, rng_loss,
+                                   num_masks=num_masks,
+                                   assignments=assignments)
+                total = criterion.weighted_total(losses)
+                return total, losses
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        else:
+            if assignments is not None:
+                raise ValueError(
+                    "TPU.GRAD_ACCUM_STEPS > 1 is not supported together "
+                    "with TPU.MATCHER_HOST_EXACT (the host cost pass would "
+                    "need the same micro-batch split)")
+            b = batch.images.shape[0]
+            # strided split (B,) -> (B//accum, accum) -> scan axis first:
+            # device d's batch rows spread one per micro-batch, so every
+            # micro step keeps the full data-parallel mesh busy
+            micros = jax.tree.map(
+                lambda x: jnp.swapaxes(
+                    x.reshape((b // accum, accum) + x.shape[1:]), 0, 1),
+                batch)
+            micro_rngs = (jax.random.split(rng_dn, accum),
+                          jax.random.split(rng_drop, accum),
+                          jax.random.split(rng_loss, accum))
+
+            def micro_loss(params, micro, rdn, rdrop, rloss):
+                outputs = model.apply(
+                    {"params": params}, micro.images, micro.targets,
+                    train=True, dn_groups=dn_groups,
+                    rngs={"dn": rdn, "dropout": rdrop})
+                losses = criterion(outputs, micro.targets, rloss,
+                                   num_masks=num_masks)
+                # CE terms are per-micro means: scale so the accumulated
+                # total (and its gradient) averages them, while the
+                # globally normalized mask terms sum exactly
+                scaled = {k: v / accum if k.startswith("loss_ce") else v
+                          for k, v in losses.items()}
+                return criterion.weighted_total(scaled), losses
+
+            def body(carry, xs):
+                g_acc, t_acc, l_acc = carry
+                micro, rdn, rdrop, rloss = xs
+                (t, losses), g = jax.value_and_grad(
+                    micro_loss, has_aux=True)(
+                        state.params, micro, rdn, rdrop, rloss)
+                return (jax.tree.map(jnp.add, g_acc, g), t_acc + t,
+                        jax.tree.map(jnp.add, l_acc, losses)), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            _, l0 = jax.eval_shape(
+                lambda: micro_loss(
+                    state.params,
+                    jax.tree.map(lambda x: x[0], micros),
+                    micro_rngs[0][0], micro_rngs[1][0], micro_rngs[2][0]))
+            zero_l = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), l0)
+            (grads, total, loss_sums), _ = jax.lax.scan(
+                body, (zero_g, jnp.zeros(()), zero_l),
+                (micros,) + micro_rngs)
+            losses = {k: v / accum if k.startswith("loss_ce") else v
+                      for k, v in loss_sums.items()}
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"total_loss": total, **losses}

@@ -64,7 +64,18 @@ class Trainer:
                 batch.images, batch.targets, train=True)["params"]
             self.tx = build_optimizer(cfg, params)
             self.state = self._replicate(create_train_state(params, self.tx))
-        self.train_step = make_train_step(self.model, self.criterion, self.tx)
+        accum = int(getattr(cfg.TPU, "GRAD_ACCUM_STEPS", 1) or 1)
+        if accum > 1:
+            if batch.images.shape[0] % accum:
+                raise ValueError(
+                    f"SOLVER.IMS_PER_BATCH={batch.images.shape[0]} must be "
+                    f"divisible by TPU.GRAD_ACCUM_STEPS={accum}")
+            if (batch.images.shape[0] // accum) % mesh_size:
+                raise ValueError(
+                    f"micro-batch {batch.images.shape[0]}//{accum} must be "
+                    f"divisible by the mesh size {mesh_size}")
+        self.train_step = make_train_step(self.model, self.criterion, self.tx,
+                                          accum=accum)
         # host-exact matching: solve the LSA with scipy on host between a
         # cost pass and the grad pass (reference's CPU hop; axon has no
         # in-jit host callbacks). ~1 extra forward per step — A/B tool for
