@@ -99,11 +99,15 @@ class TrainLoader:
                 for s in ready:
                     key = tuple(np.asarray(s["image"]).shape)
                     groups.setdefault(key, []).append(s)
+                    # last-append order: an actively filling group must not
+                    # be the eviction victim below
+                    groups[key] = groups.pop(key)
                     if len(groups[key]) == self.batch_size:
                         self._q.put(self.collate(groups.pop(key)))
                 # rare canvas shapes must not pool samples forever (unbounded
-                # memory + sampling skew): cap live groups, dropping the
-                # stalest partial group. LSJ mappers emit one fixed shape, so
+                # memory + sampling skew): cap live groups, dropping the group
+                # that went longest without receiving a sample (first in
+                # last-append order). LSJ mappers emit one fixed shape, so
                 # this is purely a safety valve for shortest-edge mappers.
                 while len(groups) > 16:
                     stale = next(iter(groups))

@@ -164,30 +164,25 @@ def postprocess_panoptic(logits, masks, image_size, out_h, out_w,
 
 # jitted eval forwards keyed by model identity: periodic eval calls
 # run_evaluation every TEST.EVAL_PERIOD steps, and a fresh @jax.jit closure
-# per call would re-trace (and re-look-up XLA compilation) each time. The
-# model object is pinned in the value so its id stays valid; a small LRU
-# bound keeps repeatedly rebuilt models from accumulating without bound.
+# per call would re-trace (and re-look-up XLA compilation) each time.
 from collections import OrderedDict
+
+from ..utils.memory import pinned_lru_get
 
 _FWD_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
 _FWD_CACHE_MAX = 4
 
 
 def _eval_forward(model):
-    hit = _FWD_CACHE.get(id(model))
-    if hit is not None and hit[0] is model:
-        _FWD_CACHE.move_to_end(id(model))
-        return hit[1]
+    def build():
+        @jax.jit
+        def fwd(p, im):
+            out = model.apply(p, im, None, train=False)
+            return out["pred_logits"], out["pred_masks"]
 
-    @jax.jit
-    def fwd(p, im):
-        out = model.apply(p, im, None, train=False)
-        return out["pred_logits"], out["pred_masks"]
+        return fwd
 
-    _FWD_CACHE[id(model)] = (model, fwd)
-    while len(_FWD_CACHE) > _FWD_CACHE_MAX:
-        _FWD_CACHE.popitem(last=False)
-    return fwd
+    return pinned_lru_get(_FWD_CACHE, id(model), model, build, _FWD_CACHE_MAX)
 
 
 def run_evaluation(cfg, model, params, dataset_name: str,

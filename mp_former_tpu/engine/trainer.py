@@ -82,6 +82,13 @@ class Trainer:
         # bounding the on-device auction's suboptimality, not a fast path.
         self.host_exact = bool(cfg.TPU.MATCHER_HOST_EXACT)
         if self.host_exact:
+            if jax.process_count() > 1:
+                # np.asarray on the batch-sharded cost tensor would need
+                # shards owned by other processes
+                raise ValueError(
+                    "TPU.MATCHER_HOST_EXACT requires single-process "
+                    f"execution (jax.process_count()={jax.process_count()}); "
+                    "it fetches the full cost tensor to the host")
             from .train_step import make_cost_step
 
             self.cost_step = make_cost_step(self.model, self.criterion)

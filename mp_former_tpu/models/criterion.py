@@ -291,9 +291,15 @@ class SetCriterion:
 
     def _loss_masks_compact(self, pred_masks, qidx, gt_masks, valid,
                             num_masks, rng):
-        """Single-layer view of the stacked compact loss (L=1)."""
-        out = self.loss_masks_stacked(
-            pred_masks[None], qidx[None], gt_masks, valid, num_masks, rng)
+        """Single-layer view of the stacked compact loss (L=1).
+
+        Calls SetCriterion.loss_masks_stacked explicitly (not through
+        dynamic dispatch): callers such as VideoSetCriterion.loss_masks
+        hand in masks ALREADY folded to the 4D image layout, and the
+        video loss_masks_stacked override would try to unfold T again."""
+        out = SetCriterion.loss_masks_stacked(
+            self, pred_masks[None], qidx[None], gt_masks, valid,
+            num_masks, rng)
         return {k: v[0] for k, v in out.items()}
 
     def loss_masks_stacked(self, pred_masks, qidx, gt_masks, valid,

@@ -12,6 +12,7 @@ assignment is a permutation so valid/invalid rows never collide.
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -24,6 +25,7 @@ from ..utils.interp import point_sample
 
 _INVALID_COST = 1e6
 _POOL = None  # created lazily: only the CPU scipy path ever uses it
+_POOL_LOCK = threading.Lock()
 
 
 def _lsa_host(cost: np.ndarray) -> np.ndarray:
@@ -31,7 +33,11 @@ def _lsa_host(cost: np.ndarray) -> np.ndarray:
     each target column."""
     global _POOL
     if _POOL is None:
-        _POOL = ThreadPoolExecutor(max_workers=8)
+        # shard_map pure_callbacks can hit this concurrently from several
+        # device threads; without the lock two pools get built, one leaked
+        with _POOL_LOCK:
+            if _POOL is None:
+                _POOL = ThreadPoolExecutor(max_workers=8)
     cost = np.asarray(cost, dtype=np.float64)
     m, q, n = cost.shape
     out = np.zeros((m, n), dtype=np.int32)

@@ -9,6 +9,7 @@ the identity, so every code path stays testable on one host.
 
 from __future__ import annotations
 
+import logging
 import pickle
 from typing import Any, List
 
@@ -81,6 +82,13 @@ def sharded_eval_loop(records, evaluator, map_fn, key_fn, flush_fn,
         for i, other in enumerate(all_gather_objects(evaluator)):
             if i != jax.process_index():
                 evaluator.merge_from(other)
+    if max_records is not None and done < len(records):
+        # the cap applies to RAW records (cross-process determinism), so
+        # mapper-skipped ones shrink the evaluated set below the cap —
+        # say so instead of silently evaluating fewer
+        logging.getLogger(__name__).warning(
+            "evaluated %d of %d capped records (mapper skipped %d)",
+            done, len(records), len(records) - done)
     return done
 
 

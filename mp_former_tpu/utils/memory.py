@@ -48,3 +48,23 @@ def retry_if_oom(fn):
                     return fn(*args, **kwargs)
 
     return wrapped
+
+
+def pinned_lru_get(cache, key, anchor, build, max_size: int):
+    """Identity-pinned LRU lookup shared by the jitted eval-forward caches
+    (engine/eval_loop.py, video/eval_loop.py).
+
+    `cache` is an OrderedDict whose values are (anchor, value) pairs; the
+    anchor object (usually the model) is pinned in the value so its id()
+    stays valid as a key component. A stale hit (same key, different
+    anchor) is rebuilt. Oldest entries are evicted beyond max_size.
+    """
+    hit = cache.get(key)
+    if hit is not None and hit[0] is anchor:
+        cache.move_to_end(key)
+        return hit[1]
+    value = build()
+    cache[key] = (anchor, value)
+    while len(cache) > max_size:
+        cache.popitem(last=False)
+    return value

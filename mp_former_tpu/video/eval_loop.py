@@ -68,26 +68,19 @@ def make_clip_forward(cfg, t_pad: int):
 
 
 # jitted per-T-bucket clip forwards keyed by model identity, so periodic
-# eval during training does not re-trace every call (the model object is
-# pinned in the value to keep its id valid; LRU-bounded so repeatedly
-# rebuilt models x T buckets cannot accumulate without bound)
+# eval during training does not re-trace every call
 from collections import OrderedDict
+
+from ..utils.memory import pinned_lru_get
 
 _CLIP_FWD_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _CLIP_FWD_CACHE_MAX = 16
 
 
 def _clip_forward(cfg, model, t_pad: int):
-    key = (id(model), t_pad)
-    hit = _CLIP_FWD_CACHE.get(key)
-    if hit is not None and hit[0] is model:
-        _CLIP_FWD_CACHE.move_to_end(key)
-        return hit[1]
-    fwd = make_clip_forward(cfg, t_pad)
-    _CLIP_FWD_CACHE[key] = (model, fwd)
-    while len(_CLIP_FWD_CACHE) > _CLIP_FWD_CACHE_MAX:
-        _CLIP_FWD_CACHE.popitem(last=False)
-    return fwd
+    return pinned_lru_get(
+        _CLIP_FWD_CACHE, (id(model), t_pad), model,
+        lambda: make_clip_forward(cfg, t_pad), _CLIP_FWD_CACHE_MAX)
 
 
 def inference_on_video_dataset(cfg, model, params, records: List[dict],

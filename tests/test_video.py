@@ -382,3 +382,25 @@ def test_video_criterion_accepts_external_assignments():
             np.asarray(base[k]), np.asarray(ext[k]), rtol=1e-6,
             err_msg=f"loss {k} differs between in-program and external "
                     "assignments")
+
+
+def test_video_per_layer_loss_masks_api():
+    """Regression: VideoSetCriterion.loss_masks T-folds then must reach the
+    BASE stacked loss — dynamic dispatch routed the folded 4D input back
+    into the video loss_masks_stacked override, which unpacks 6 dims."""
+    cfg = _video_cfg()
+    criterion = build_video_criterion(cfg)
+    b, q, n, t, h, w, hg, wg = 1, 6, 4, 2, 16, 16, 64, 64
+    rng = np.random.RandomState(3)
+    pred = jnp.asarray(rng.randn(b, q, t, h, w).astype(np.float32))
+    gt = np.zeros((b, n, t, hg, wg), bool)
+    gt[:, 0, :, 8:40, 8:40] = True
+    gt[:, 1, 1, 20:60, 20:60] = True
+    qidx = jnp.asarray(rng.randint(0, q, (b, n)), jnp.int32)
+    valid = jnp.asarray([[True, True, False, False]])
+    out = criterion.loss_masks(pred, qidx, jnp.asarray(gt), valid,
+                               num_masks=2.0, rng=jax.random.PRNGKey(7))
+    assert set(out) == {"loss_mask", "loss_dice"}
+    for v in out.values():
+        assert v.shape == ()
+        assert np.isfinite(float(v))
