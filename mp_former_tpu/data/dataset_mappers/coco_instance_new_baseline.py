@@ -138,7 +138,10 @@ class COCOInstanceNewBaselineDatasetMapper:
             boxes[:idx] = np.stack([cx, cy, bw, bh], -1) / size
 
         return {
-            "image": image.astype(np.float32),
+            # uint8: images ship to device raw; the model casts (4x fewer
+            # host-link bytes than float32, and this runtime retains every
+            # transfer's host staging buffer)
+            "image": np.ascontiguousarray(image),
             "labels": labels,
             "masks": masks,
             "boxes": boxes,

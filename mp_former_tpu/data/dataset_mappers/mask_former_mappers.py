@@ -136,7 +136,7 @@ class MaskFormerSemanticDatasetMapper(_BaseSemanticMapper):
         image = apply_record_to_image(img, rec, pad_value=128.0)
         sem_t = _apply_to_sem_seg(sem, rec, self.ignore)
         ph, pw = self._canvas(rec)
-        canvas = np.full((ph, pw, 3), 128.0, np.float32)
+        canvas = np.full((ph, pw, 3), 128, np.uint8)
         canvas[: image.shape[0], : image.shape[1]] = image
         sem_canvas = np.full((ph, pw), self.ignore, sem_t.dtype)
         sem_canvas[: sem_t.shape[0], : sem_t.shape[1]] = sem_t
@@ -186,7 +186,7 @@ class MaskFormerPanopticDatasetMapper(_BaseSemanticMapper):
         pan_ids = rgb2id(pan)
         pan_t = _apply_to_sem_seg(pan_ids.astype(np.int64), rec, 0)
         ph, pw = self._canvas(rec)
-        canvas = np.full((ph, pw, 3), 128.0, np.float32)
+        canvas = np.full((ph, pw, 3), 128, np.uint8)
         canvas[: image.shape[0], : image.shape[1]] = image
         pan_canvas = np.zeros((ph, pw), np.int64)
         pan_canvas[: pan_t.shape[0], : pan_t.shape[1]] = pan_t
@@ -234,7 +234,7 @@ class MaskFormerInstanceDatasetMapper(_BaseSemanticMapper):
             img = color_aug_ssd(rng, img)
         image = apply_record_to_image(img, rec, pad_value=128.0)
         ph, pw = self._canvas(rec)
-        canvas = np.full((ph, pw, 3), 128.0, np.float32)
+        canvas = np.full((ph, pw, 3), 128, np.uint8)
         canvas[: image.shape[0], : image.shape[1]] = image
 
         n_cap = self.max_instances
@@ -310,7 +310,7 @@ class COCOPanopticNewBaselineDatasetMapper:
             valid[i] = True
             i += 1
         return {
-            "image": image.astype(np.float32), "labels": labels, "masks": masks,
+            "image": np.ascontiguousarray(image), "labels": labels, "masks": masks,
             "boxes": np.zeros((n_cap, 4), np.float32), "valid": valid,
             "image_id": record.get("image_id", -1),
             "height": record.get("height", h), "width": record.get("width", w),

@@ -23,10 +23,17 @@ logger = logging.getLogger(__name__)
 def _collate(samples: List[Dict]) -> Batch:
     import jax.numpy as jnp
 
+    from ..structures import pack_bool_masks
+
+    # ship uint8 images + bit-packed masks; the jitted train step casts /
+    # unpacks on device (structures.unpack_batch_masks) — 4-8x fewer
+    # host-link bytes, and this runtime retains every transfer's host
+    # staging buffer, so the volume is also leaked RSS
     images = np.stack([s["image"] for s in samples])
     targets = Targets(
         labels=jnp.asarray(np.stack([s["labels"] for s in samples])),
-        masks=jnp.asarray(np.stack([s["masks"] for s in samples])),
+        masks=jnp.asarray(pack_bool_masks(
+            np.stack([s["masks"] for s in samples]))),
         boxes=jnp.asarray(np.stack([s["boxes"] for s in samples])),
         valid=jnp.asarray(np.stack([s["valid"] for s in samples])),
     )

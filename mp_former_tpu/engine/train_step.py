@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..structures import Targets
+from ..structures import Targets, unpack_batch_masks
 
 
 class TrainState(NamedTuple):
@@ -74,6 +74,7 @@ def make_train_step(model, criterion, tx, donate: bool = True,
     def train_step(state: TrainState, batch: Batch, rng: jax.Array,
                    dn_groups: Optional[int] = None,
                    assignments: Optional[jax.Array] = None):
+        batch = unpack_batch_masks(batch)
         rng_dn, rng_drop, rng_loss = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
         # global valid-instance count (reference all_reduce, criterion.py:235-237)
@@ -175,6 +176,7 @@ def make_cost_step(model, criterion):
 
     def cost_step(state: TrainState, batch: Batch, rng: jax.Array,
                   dn_groups: Optional[int] = None):
+        batch = unpack_batch_masks(batch)
         rng_dn, rng_drop, rng_loss = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
         outputs = model.apply(

@@ -20,6 +20,43 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _shrink_for_init(batch, target: int = 64):
+    """Slice a train batch to (B=1, <=64px) for model.init.
+
+    Param shapes do not depend on batch or spatial size, but flax init
+    traces a REAL forward — at the published recipe scale (bs16@1024 LSJ,
+    Base-COCO-InstanceSegmentation.yaml) that init forward alone exhausted
+    chip HBM before the first train step. 64px keeps every stride-32
+    feature level non-empty. Handles image (B,H,W,3) and video (B,T,H,W,3)
+    layouts, and bit-packed GT masks (structures.pack_bool_masks); falls
+    back to batch-only slicing when the spatial cut would not be exact.
+    """
+    im = batch.images
+    h, w = im.shape[-3], im.shape[-2]
+    sh, sw = min(h, target), min(w, target)
+    t = batch.targets
+    m = t.masks
+    packed = m.dtype == np.uint8
+    mw_full = m.shape[-1] * (8 if packed else 1)
+    ok = (m.shape[-2] > 0 and mw_full > 0
+          and h % m.shape[-2] == 0 and w % mw_full == 0)
+    if ok:
+        stride_h, stride_w = h // m.shape[-2], w // mw_full
+        ok = (sh % stride_h == 0 and sw % stride_w == 0
+              and (not packed or (sw // stride_w) % 8 == 0))
+    if ok:
+        msh = sh // stride_h
+        msw = (sw // stride_w) // 8 if packed else sw // stride_w
+        images = im[:1, ..., :sh, :sw, :]
+        masks = m[:1, ..., :msh, :msw]
+    else:
+        images, masks = im[:1], m[:1]
+    kw = {"labels": t.labels[:1], "masks": masks, "valid": t.valid[:1]}
+    if hasattr(t, "boxes"):
+        kw["boxes"] = t.boxes[:1]
+    return batch._replace(images=images, targets=t._replace(**kw))
+
+
 class Trainer:
     def __init__(self, cfg, train_loader=None, model=None, criterion=None):
         """model/criterion default to the image stack; the video CLI passes
@@ -56,12 +93,15 @@ class Trainer:
             raise ValueError(
                 f"SOLVER.IMS_PER_BATCH={batch.images.shape[0]} must be divisible "
                 f"by the data-parallel mesh size {mesh_size} (TPU.MESH_SHAPE)")
+        from ..structures import unpack_batch_masks
+
+        init_batch = unpack_batch_masks(_shrink_for_init(batch))
         with jax.set_mesh(self.mesh):
             params = self.model.init(
                 {"params": jax.random.PRNGKey(seed),
                  "dn": jax.random.PRNGKey(seed + 1),
                  "dropout": jax.random.PRNGKey(seed + 2)},
-                batch.images, batch.targets, train=True)["params"]
+                init_batch.images, init_batch.targets, train=True)["params"]
             self.tx = build_optimizer(cfg, params)
             self.state = self._replicate(create_train_state(params, self.tx))
         accum = int(getattr(cfg.TPU, "GRAD_ACCUM_STEPS", 1) or 1)

@@ -82,6 +82,8 @@ class MaskFormer(nn.Module):
         """dn_groups: host-computed (groups, batch_max_gt) for NUM_DN >= 100
         configs (engine.train_step.compute_dn_groups; reference decoder
         :973-974). A bare int (legacy) is accepted as groups-only."""
+        if not jnp.issubdtype(images.dtype, jnp.floating):
+            images = images.astype(jnp.float32)  # uint8 host transfers
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = (images - mean) / std

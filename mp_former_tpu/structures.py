@@ -52,3 +52,57 @@ class DNArgs(NamedTuple):
     noise_scale: float
     groups: Optional[int] = None
     batch_max: Optional[int] = None
+
+
+# -- compact host->device transfer of GT masks ------------------------------
+# On this TPU runtime every host->device transfer's staging buffer is
+# retained by the client for the process lifetime (measured: trainer RSS
+# grows by exactly the per-step transfer volume — 130 GB host OOM on a
+# 3000-iter full-res-GT run). Shipping bool bitmasks 8-packed (and images
+# as uint8) cuts the leak and the host-link bytes 4-8x; the jitted step
+# unpacks on device (a few VPU ops). numpy packbits/unpack here are
+# bit-order 'big' (bit 7 of byte 0 = first mask column).
+
+
+def pack_bool_masks(arr):
+    """Host-side: bool (..., W) -> uint8 (..., W//8) when W % 8 == 0,
+    otherwise returned unchanged (the unpack rule reconstructs W = 8 *
+    packed_W, so ragged widths must not be packed)."""
+    import numpy as np
+
+    if arr.dtype == bool and arr.shape[-1] % 8 == 0:
+        return np.packbits(arr, axis=-1)
+    return arr
+
+
+def unpack_bitmask(m: jax.Array) -> jax.Array:
+    """Device-side inverse of pack_bool_masks: uint8 (..., P) -> bool
+    (..., 8P)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (m[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(m.shape[:-1] + (m.shape[-1] * 8,)).astype(bool)
+
+
+def pack_bitmask_device(b: jax.Array) -> jax.Array:
+    """Device-side inverse-direction packer: bool (..., W) -> uint8
+    (..., ceil(W/8)), zero-padded, bit-order 'big' — the exact layout
+    `np.unpackbits(..., axis=-1, count=W)` restores on host. Used to ship
+    eval predictions device->host 8x smaller (the d2h twin of
+    pack_bool_masks; this runtime also retains d2h staging buffers)."""
+    pad = (-b.shape[-1]) % 8
+    if pad:
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
+    bits = b.reshape(b.shape[:-1] + (b.shape[-1] // 8, 8)).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (bits * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def unpack_batch_masks(batch):
+    """If the batch ships bit-packed GT masks (uint8), restore the bool
+    layout the model/criterion expect. Bool masks pass through untouched,
+    so manually built batches (tests, dryrun) are unaffected."""
+    m = batch.targets.masks
+    if m.dtype == jnp.uint8:
+        return batch._replace(
+            targets=batch.targets._replace(masks=unpack_bitmask(m)))
+    return batch

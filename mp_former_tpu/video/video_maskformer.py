@@ -60,6 +60,8 @@ class VideoMaskFormer(nn.Module):
         accepted for train-step compatibility and ignored — the reference
         video stack has no DN/MP path (video_maskformer_model.py:24-287)."""
         b, t, h, w, _ = images.shape
+        if not jnp.issubdtype(images.dtype, jnp.floating):
+            images = images.astype(jnp.float32)  # uint8 host transfers
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         x = ((images - mean) / std).reshape(b * t, h, w, 3)

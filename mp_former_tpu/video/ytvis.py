@@ -159,7 +159,7 @@ class YTVISDatasetMapper:
         ph = max(ph, (rec.out_h + d - 1) // d * d)
         pw = max(pw, (rec.out_w + d - 1) // d * d)
 
-        frames = np.zeros((self.num_frames, ph, pw, 3), np.float32)
+        frames = np.zeros((self.num_frames, ph, pw, 3), np.uint8)
         n_cap = self.max_instances
         masks = np.zeros((n_cap, self.num_frames, ph, pw), bool)
         labels = np.zeros((n_cap,), np.int32)

@@ -97,3 +97,18 @@ def test_eval_forward_jits(small_model):
 
     out = fwd(params, images)
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_uint8_images_match_float32(small_model):
+    """The loaders ship uint8 images (compact host transfers); the model
+    upcasts on device. Forward must be IDENTICAL to the previous host
+    behavior (uint8 decode -> astype(float32) before shipping)."""
+    cfg, model, params, images = small_model
+    img_u8 = np.asarray(images).astype(np.uint8)
+    out_f = model.apply(params, jnp.asarray(img_u8, jnp.float32), None,
+                        train=False)
+    out_u = model.apply(params, jnp.asarray(img_u8), None, train=False)
+    np.testing.assert_array_equal(np.asarray(out_f["pred_logits"]),
+                                  np.asarray(out_u["pred_logits"]))
+    np.testing.assert_array_equal(np.asarray(out_f["pred_masks"]),
+                                  np.asarray(out_u["pred_masks"]))

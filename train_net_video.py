@@ -91,11 +91,16 @@ def main(args):
                                 max_instances=cfg.TPU.MAX_INSTANCES)
 
     def collate(samples):
+        from mp_former_tpu.structures import pack_bool_masks
+
+        # uint8 frames + bit-packed tube masks; unpacked on device inside
+        # the jitted step (structures.unpack_batch_masks)
         return Batch(
             images=jnp.asarray(np.stack([s["image"] for s in samples])),
             targets=VideoTargets(
                 labels=jnp.asarray(np.stack([s["labels"] for s in samples])),
-                masks=jnp.asarray(np.stack([s["masks"] for s in samples])),
+                masks=jnp.asarray(pack_bool_masks(
+                    np.stack([s["masks"] for s in samples]))),
                 valid=jnp.asarray(np.stack([s["valid"] for s in samples]))))
 
     loader = TrainLoader(
