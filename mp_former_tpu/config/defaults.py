@@ -262,6 +262,15 @@ def add_maskformer2_config(cfg: CN) -> None:
     # (XLA relayouts the taps tensor otherwise; no-op for packed2x2 and on
     # non-TPU backends)
     cfg.TPU.PALLAS_TAP_WEIGHTING = False
+    # streamed instance evaluation: when the eval tasks are instance-only,
+    # group TPU.EVAL_STREAM same-shape images per jit invocation (lax.scan
+    # over the stream — this backend charges ~30 ms per INVOCATION, see
+    # PERFORMANCE.md) and fold the full post-processing chain
+    # (upsample -> crop -> resize-to-original -> topk -> mask scoring ->
+    # binarize) into the same program, returning bit-packed masks (8x
+    # fewer d2h bytes). 1 restores per-image invocations + host-side
+    # post-processing (round-2 behavior; semantic/panoptic always use it).
+    cfg.TPU.EVAL_STREAM = 8
     # eval canvas bucketing: 0 pads every image to the full
     # (MIN_SIZE_TEST, MAX_SIZE_TEST) rectangle (2 compiles); a /32 multiple N
     # rounds each side up to N instead (more compiles — persistent-cached —

@@ -185,6 +185,53 @@ def _eval_forward(model):
     return pinned_lru_get(_FWD_CACHE, id(model), model, build, _FWD_CACHE_MAX)
 
 
+def _instance_fused_forward(model):
+    """Streamed forward + instance post-processing in ONE jitted program.
+
+    This backend charges a fixed ~30 ms per jit INVOCATION (PERFORMANCE.md
+    "sustained inference"); the legacy eval path pays it once for the
+    forward and again for every eager post-processing chain. Here a
+    lax.scan runs TPU.EVAL_STREAM same-shape images per invocation and the
+    full reference-order post-processing (upsample 1/4 -> crop padding ->
+    resize to original -> topk -> mask scoring -> binarize; reference
+    maskformer_model.py:239-259,365-401) happens on device, returning
+    bit-packed binary masks (8x fewer d2h bytes — this runtime also
+    retains d2h staging buffers, see structures.py)."""
+
+    def build():
+        from functools import partial
+
+        from ..structures import pack_bitmask_device
+
+        @partial(jax.jit, static_argnames=(
+            "img_h", "img_w", "out_h", "out_w", "num_classes", "topk"))
+        def fwd(p, ims, *, img_h, img_w, out_h, out_w, num_classes, topk):
+            """ims: (K, D, H, W, 3) — K scan steps of a D-device-sharded
+            batch. Returns ((K, D, topk) scores, (K, D, topk) classes,
+            (K, D, topk, out_h, ceil(out_w/8)) bit-packed masks)."""
+
+            def post(logits, masks):  # (Q, C+1), (Q, h4, w4)
+                ch, cw = masks.shape[1] * 4, masks.shape[2] * 4
+                m = resize(masks, (ch, cw), "bilinear")
+                m = m[:, :img_h, :img_w]
+                m = resize(m, (out_h, out_w), "bilinear")
+                out = instance_inference(logits, m, num_classes, topk)
+                return (out.scores, out.pred_classes,
+                        pack_bitmask_device(out.pred_masks))
+
+            def body(_, im):
+                o = model.apply(p, im, None, train=False)
+                return (), jax.vmap(post)(o["pred_logits"], o["pred_masks"])
+
+            _, res = jax.lax.scan(body, (), ims)
+            return res
+
+        return fwd
+
+    return pinned_lru_get(_FWD_CACHE, (id(model), "instance_fused"), model,
+                          build, _FWD_CACHE_MAX)
+
+
 def run_evaluation(cfg, model, params, dataset_name: str,
                    max_images: Optional[int] = None,
                    evaluator_set=None, mesh=None) -> Dict:
@@ -239,7 +286,7 @@ def run_evaluation(cfg, model, params, dataset_name: str,
     t0 = time.perf_counter()
 
     def tick():
-        if n % 50 == 0:
+        if n % 10 == 0:
             logger.info("eval %d images (%.2f s/img)", n,
                         (time.perf_counter() - t0) / n)
 
@@ -248,9 +295,17 @@ def run_evaluation(cfg, model, params, dataset_name: str,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data_s = NamedSharding(mesh, P("data"))
+        stream_s = NamedSharding(mesh, P(None, "data"))
         params_put = jax.device_put(params, NamedSharding(mesh, P()))
     else:
         params_put = params
+
+    # instance-only evals run the streamed fused program: TPU.EVAL_STREAM
+    # images per jit invocation, post-processing on device (see
+    # _instance_fused_forward). Other task mixes keep the per-image path.
+    stream = int(getattr(cfg.TPU, "EVAL_STREAM", 1) or 1)
+    fused = set(tasks) == {"instance"} and stream > 1
+    fwd_fused = _instance_fused_forward(model) if fused else None
 
     def flush(items):
         nonlocal n
@@ -266,17 +321,52 @@ def run_evaluation(cfg, model, params, dataset_name: str,
             n += 1
             tick()
 
+    def flush_fused(items):
+        nonlocal n
+        s0 = items[0][1]
+        k, g = len(items), n_dev * stream
+        imgs = np.stack([s["image"] for _, s in items]
+                        + [items[-1][1]["image"]] * (g - k))
+        imgs = imgs.reshape(stream, n_dev, *imgs.shape[1:])
+        imgs = (jax.device_put(imgs, stream_s) if n_dev > 1
+                else jnp.asarray(imgs))
+        sc, cls, pm = fwd_fused(
+            params_put, imgs, img_h=s0["image_size"][0],
+            img_w=s0["image_size"][1], out_h=s0["height"],
+            out_w=s0["width"], num_classes=num_classes, topk=topk)
+        sc = np.asarray(sc).reshape(g, *sc.shape[2:])
+        cls = np.asarray(cls).reshape(g, *cls.shape[2:])
+        pm = np.asarray(pm).reshape(g, *pm.shape[2:])
+        for i, (rec, sample) in enumerate(items):
+            bm = np.unpackbits(
+                pm[i], axis=-1, count=sample["width"]).astype(bool)
+            evset.process(rec, {"instance": (sc[i], cls[i], bm)})
+            n += 1
+            tick()
+
     def map_fn(rec):
         sample = mapper(rec)
         return None if sample is None else (rec, sample)
 
+    if fused:
+        # the fused program is shape-specialized on the original size too,
+        # so group by (canvas, resized, original) — worst case (every
+        # original size unique) degenerates to the per-image path's cost
+        key_fn = lambda item: (item[1]["image"].shape,
+                               tuple(item[1]["image_size"]),
+                               item[1]["height"], item[1]["width"])
+    else:
+        key_fn = lambda item: item[1]["image"].shape
     sharded_eval_loop(
-        records, evset, map_fn,
-        key_fn=lambda item: item[1]["image"].shape,
-        flush_fn=flush, n_dev=n_dev, max_records=max_images)
+        records, evset, map_fn, key_fn=key_fn,
+        flush_fn=flush_fused if fused else flush,
+        n_dev=n_dev * stream if fused else n_dev, max_records=max_images)
 
     results = evset.evaluate()
-    logger.info("evaluated %d images on %s: %s", n, dataset_name, results)
+    dt = time.perf_counter() - t0
+    logger.info("evaluated %d images on %s in %.1f s (%.2f img/s incl. "
+                "compile): %s", n, dataset_name, dt, n / max(dt, 1e-9),
+                results)
     return results
 
 
