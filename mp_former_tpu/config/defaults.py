@@ -253,6 +253,11 @@ def add_maskformer2_config(cfg: CN) -> None:
     cfg.TPU.REMAT_POLICY = "full"
     # deformable-attention sampling engine. 'packed2x2' = reference-exact
     # per-head sampling locations (one 4D-wide gather row per point).
+    # 'pallas' = SAME semantics and parameter layout as packed2x2 (reference
+    # checkpoints load unchanged) but the gather+tap-weighting runs as a
+    # Mosaic kernel with the per-head patch table VMEM-resident
+    # (ops/msda_pallas.py; falls back to packed2x2 per level when a table
+    # exceeds the VMEM budget or off-TPU).
     # 'headshare' = one location set shared across heads (one 4*M*D-wide row
     # per point, M-fold fewer gather rows — the op is row-count-bound on TPU).
     # headshare is a trained-from-scratch deviation; checkpoints do not

@@ -171,6 +171,12 @@ from ..utils.memory import pinned_lru_get
 
 _FWD_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
 _FWD_CACHE_MAX = 4
+# fused streamed programs are far more expensive to re-trace than plain
+# forwards (they carry the whole post-processing chain per original-size
+# specialization) — give them their own LRU so alternating per-image evals
+# across rebuilt models can't evict them
+_FUSED_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_FUSED_CACHE_MAX = 4
 
 
 def _eval_forward(model):
@@ -228,8 +234,8 @@ def _instance_fused_forward(model):
 
         return fwd
 
-    return pinned_lru_get(_FWD_CACHE, (id(model), "instance_fused"), model,
-                          build, _FWD_CACHE_MAX)
+    return pinned_lru_get(_FUSED_CACHE, (id(model), "instance_fused"), model,
+                          build, _FUSED_CACHE_MAX)
 
 
 def run_evaluation(cfg, model, params, dataset_name: str,
@@ -323,6 +329,17 @@ def run_evaluation(cfg, model, params, dataset_name: str,
 
     def flush_fused(items):
         nonlocal n
+        # Real datasets have many distinct ORIGINAL sizes (COCO val2017 has
+        # hundreds); the fused program is shape-specialized on the original
+        # size, so a sparse size group would pay a fresh whole-program
+        # compile plus up-to-g-fold padded redundant forwards for a handful
+        # of images. Delegate under-filled groups to the per-image path,
+        # which compiles once per canvas bucket regardless of original size.
+        min_fill = max(2, (n_dev * stream) // 4)
+        if len(items) < min_fill:
+            for i in range(0, len(items), n_dev):
+                flush(items[i:i + n_dev])
+            return
         s0 = items[0][1]
         k, g = len(items), n_dev * stream
         imgs = np.stack([s["image"] for _, s in items]

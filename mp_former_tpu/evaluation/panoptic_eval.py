@@ -51,6 +51,13 @@ class PanopticEvaluator:
 
     def process(self, pred_map: np.ndarray, pred_segments: List[dict],
                 gt_map: np.ndarray, gt_segments: List[dict]):
+        """panopticapi pq_compute_single_core semantics, pinned by
+        tests/test_panoptic_differential.py: gt areas trusted from the
+        segment dicts when present (panopticapi reads segments_info areas),
+        unmatched non-crowd gt segments count FN even with zero map area,
+        and the FP void-ignore rule uses ONE crowd label per category (the
+        last in segments order — a panopticapi dict-overwrite quirk kept
+        for score parity)."""
         stat = self._stat
         pred_cat = {s["id"]: s["category_id"] for s in pred_segments}
         gt_cat = {s["id"]: s["category_id"] for s in gt_segments}
@@ -65,11 +72,13 @@ class PanopticEvaluator:
         for cid, cnt in zip(ids, counts):
             inter[(int(cid // 2 ** 32), int(cid % 2 ** 32))] = int(cnt)
 
-        gt_area = defaultdict(int)
+        map_gt_area = defaultdict(int)
         pred_area = defaultdict(int)
         for (g, p), c in inter.items():
-            gt_area[g] += c
+            map_gt_area[g] += c
             pred_area[p] += c
+        gt_area = {s["id"]: s.get("area", map_gt_area[s["id"]])
+                   for s in gt_segments}
 
         matched_gt, matched_pred = set(), set()
         for (g, p), c in inter.items():
@@ -90,13 +99,15 @@ class PanopticEvaluator:
                 matched_gt.add(g)
                 matched_pred.add(p)
 
-        crowd_area_by_cat = defaultdict(int)
-        for g, cat in gt_cat.items():
-            if gt_crowd.get(g, 0):
-                crowd_area_by_cat[cat] += gt_area[g]
+        crowd_label_by_cat = {}
+        for s in gt_segments:
+            g, cat = s["id"], s["category_id"]
+            if g in matched_gt:
                 continue
-            if g not in matched_gt and gt_area[g] > 0:
-                stat.fn[cat] += 1
+            if gt_crowd.get(g, 0):
+                crowd_label_by_cat[cat] = g
+                continue
+            stat.fn[cat] += 1
         for p, cat in pred_cat.items():
             if p in matched_pred:
                 continue
@@ -104,10 +115,8 @@ class PanopticEvaluator:
             if area == 0:
                 continue
             ignored = inter.get((VOID, p), 0)
-            # area intersecting crowd GT of the same class also doesn't count
-            for (g, pp), c in inter.items():
-                if pp == p and gt_crowd.get(g, 0) and gt_cat.get(g) == cat:
-                    ignored += c
+            if cat in crowd_label_by_cat:
+                ignored += inter.get((crowd_label_by_cat[cat], p), 0)
             if ignored / area > 0.5:
                 continue
             stat.fp[cat] += 1

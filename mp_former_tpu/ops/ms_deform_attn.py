@@ -229,9 +229,11 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
-    # 'packed2x2' = reference-exact per-head locations; 'headshare' = one
-    # location set shared by all heads (TPU.SAMPLING_ENGINE; see
-    # ms_deform_attn_headshare). Checkpoints do not interconvert.
+    # 'packed2x2' = reference-exact per-head locations; 'pallas' = identical
+    # semantics/params via the Mosaic gather kernel (ops/msda_pallas.py —
+    # reference checkpoints load unchanged); 'headshare' = one location set
+    # shared by all heads (TPU.SAMPLING_ENGINE; see ms_deform_attn_headshare;
+    # headshare checkpoints do not interconvert).
     sampling_engine: str = "packed2x2"
     # fuse the headshare tap weighting into a Pallas VPU kernel (TPU only;
     # falls back to XLA on other backends). TPU.PALLAS_TAP_WEIGHTING.
@@ -332,7 +334,16 @@ class MSDeformAttn(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 4")
 
-        out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        if self.sampling_engine == "pallas":
+            from .msda_pallas import (ms_deform_attn_pallas,
+                                      msda_pallas_supported)
+            if msda_pallas_supported(spatial_shapes, P, D, value.dtype):
+                out = ms_deform_attn_pallas(value, loc, attn,
+                                            tuple(spatial_shapes))
+            else:
+                out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        else:
+            out = ms_deform_attn(value, spatial_shapes, loc, attn)
         return nn.Dense(self.d_model, dtype=self.dtype,
                         kernel_init=nn.initializers.xavier_uniform(),
                         name="output_proj")(out)

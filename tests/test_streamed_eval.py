@@ -102,3 +102,100 @@ def test_pack_bitmask_device_roundtrip():
         # matches the host packer bit order on aligned widths
         if w % 8 == 0:
             assert (p == np.packbits(a, axis=-1)).all()
+
+
+def test_diverse_original_sizes_delegate_to_legacy(tmp_path):
+    """Real datasets have many distinct original sizes; under-filled fused
+    size groups must delegate to the per-image path (no per-size whole-
+    program compile) and produce identical evaluation results."""
+    import json
+
+    import cv2
+
+    from mp_former_tpu.config import get_cfg as _get_cfg
+    from mp_former_tpu.data.datasets.coco import register_coco_instances
+    from mp_former_tpu.engine.eval_loop import run_evaluation
+    from mp_former_tpu.models import build_model as _build
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(3)
+    images, annotations = [], []
+    # five images, five distinct original sizes -> every fused size group is
+    # a singleton and takes the delegation path
+    sizes = [(100, 120), (101, 121), (102, 122), (103, 123), (104, 124)]
+    for i, (h, w) in enumerate(sizes):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        img[20:60, 30:80] = (255, 0, 0)
+        annotations.append({
+            "id": i + 1, "image_id": i, "category_id": 1,
+            "bbox": [30, 20, 50, 40], "area": 2000, "iscrowd": 0,
+            "segmentation": [[30, 20, 80, 20, 80, 60, 30, 60]],
+        })
+        fn = f"{i:06d}.jpg"
+        cv2.imwrite(str(img_dir / fn), img)
+        images.append({"id": i, "file_name": fn, "height": h, "width": w})
+    jf = tmp_path / "instances.json"
+    jf.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "red"}],
+    }))
+    name = "synthetic_coco_diverse_sizes"
+    register_coco_instances(name, str(jf), str(img_dir))
+
+    from mp_former_tpu.config import add_deeplab_config, add_maskformer2_config
+
+    cfg = _get_cfg()
+    add_deeplab_config(cfg)
+    add_maskformer2_config(cfg)
+    cfg.merge_from_list([
+        "MODEL.RESNETS.OUT_FEATURES", "['res2','res3','res4','res5']",
+        "MODEL.SEM_SEG_HEAD.NAME", "MaskFormerHead",
+        "MODEL.SEM_SEG_HEAD.IN_FEATURES", "['res2','res3','res4','res5']",
+        "MODEL.SEM_SEG_HEAD.PIXEL_DECODER_NAME", "MSDeformAttnPixelDecoder",
+        "MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS", "1",
+        "MODEL.SEM_SEG_HEAD.NUM_CLASSES", "1",
+        "MODEL.SEM_SEG_HEAD.CONVS_DIM", "32",
+        "MODEL.SEM_SEG_HEAD.MASK_DIM", "32",
+        "MODEL.MASK_FORMER.TRANSFORMER_IN_FEATURE",
+        "multi_scale_pixel_decoder",
+        "MODEL.MASK_FORMER.HIDDEN_DIM", "32",
+        "MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "8",
+        "MODEL.MASK_FORMER.NHEADS", "4",
+        "MODEL.MASK_FORMER.DIM_FEEDFORWARD", "64",
+        "MODEL.MASK_FORMER.DEC_LAYERS", "4",
+        "MODEL.MASK_FORMER.DROPOUT", "0.0",
+        "MODEL.MASK_FORMER.TEST.INSTANCE_ON", "True",
+        "INPUT.MIN_SIZE_TEST", "64",
+        "INPUT.MAX_SIZE_TEST", "96",
+        "TEST.DETECTIONS_PER_IMAGE", "8",
+        "DATASETS.TEST", f"('{name}',)",
+    ])
+    model = _build(cfg)
+    dummy = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, dummy, None,
+                        train=False)
+
+    cfg_legacy = cfg.clone()
+    cfg_legacy.TPU.EVAL_STREAM = 1
+    cfg_fused = cfg.clone()
+    cfg_fused.TPU.EVAL_STREAM = 8
+
+    legacy = run_evaluation(cfg_legacy, model, params, name)
+    fused = run_evaluation(cfg_fused, model, params, name)
+
+    def flatten(d, p=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flatten(v, p + str(k) + "/"))
+            elif isinstance(v, (int, float, np.floating)):
+                out[p + str(k)] = float(v)
+        return out
+
+    fl, ff = flatten(legacy), flatten(fused)
+    assert set(fl) == set(ff)
+    for k in fl:
+        if np.isnan(fl[k]) and np.isnan(ff[k]):
+            continue
+        np.testing.assert_allclose(ff[k], fl[k], rtol=1e-6, err_msg=k)
