@@ -70,8 +70,55 @@ def _ln(sd, prefix) -> Dict[str, np.ndarray]:
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
+def _conv(sd, key, bias=True):
+    out = {"kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def convert_fpn_pixel_decoder(sd: Dict[str, np.ndarray],
+                              prefix: str = "sem_seg_head.pixel_decoder."
+                              ) -> Dict[str, Any]:
+    """BasePixelDecoder / TransformerEncoderPixelDecoder (reference
+    pixel_decoder/fpn.py:37-312): adapter_{k}/layer_{k} lateral+output convs
+    (1-based, res2..res5 order), mask_features, and — for the transformer
+    variant — input_proj + the vanilla 6-layer encoder
+    (transformer.encoder.layers.{i} with packed in_proj MHA)."""
+    p: Dict[str, Any] = {}
+    k = 1
+    while f"{prefix}layer_{k}.weight" in sd:
+        if f"{prefix}adapter_{k}.weight" in sd:
+            p[f"adapter_{k}"] = {
+                "conv": _conv(sd, f"{prefix}adapter_{k}"),
+                "gn": _ln(sd, f"{prefix}adapter_{k}.norm"),
+            }
+        p[f"layer_{k}"] = {
+            "conv": _conv(sd, f"{prefix}layer_{k}"),
+            "gn": _ln(sd, f"{prefix}layer_{k}.norm"),
+        }
+        k += 1
+    p["mask_features"] = _conv(sd, f"{prefix}mask_features")
+    if f"{prefix}input_proj.weight" in sd:
+        p["input_proj"] = _conv(sd, f"{prefix}input_proj")
+    i = 0
+    while f"{prefix}transformer.encoder.layers.{i}.norm1.weight" in sd:
+        t = f"{prefix}transformer.encoder.layers.{i}"
+        p[f"transformer_layer_{i}"] = {
+            "self_attn": _mha(sd, f"{t}.self_attn"),
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "linear1": _linear(sd, f"{t}.linear1"),
+            "linear2": _linear(sd, f"{t}.linear2"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+        }
+        i += 1
+    return p
+
+
 def convert_pixel_decoder(sd: Dict[str, np.ndarray],
                           prefix: str = "sem_seg_head.pixel_decoder.") -> Dict[str, Any]:
+    if f"{prefix}transformer.level_embed" not in sd:
+        return convert_fpn_pixel_decoder(sd, prefix)
     p: Dict[str, Any] = {}
     i = 0
     while f"{prefix}input_proj.{i}.0.weight" in sd:
@@ -115,8 +162,57 @@ def convert_pixel_decoder(sd: Dict[str, np.ndarray],
     return p
 
 
+def convert_standard_predictor(sd: Dict[str, np.ndarray],
+                               prefix: str = "sem_seg_head.predictor."
+                               ) -> Dict[str, Any]:
+    """StandardTransformerDecoder (reference
+    maskformer_transformer_decoder.py:30-171 + DETR transformer.py):
+    query_embed, optional input_proj (only when in_channels != hidden_dim or
+    ENFORCE_INPUT_PROJ), class_embed, 3-layer mask_embed MLP, decoder layers
+    transformer.decoder.layers.{i} (packed-in_proj self/cross MHA + FFN +
+    norm1-3), final transformer.decoder.norm, optional DETR encoder."""
+    p: Dict[str, Any] = {
+        "query_embed": sd[f"{prefix}query_embed.weight"],
+        "decoder_norm": _ln(sd, f"{prefix}transformer.decoder.norm"),
+        "class_embed": _linear(sd, f"{prefix}class_embed"),
+        "mask_embed": {
+            f"layers_{i}": _linear(sd, f"{prefix}mask_embed.layers.{i}")
+            for i in range(3)
+        },
+    }
+    if f"{prefix}input_proj.weight" in sd:
+        p["input_proj"] = _conv(sd, f"{prefix}input_proj")
+    i = 0
+    while f"{prefix}transformer.decoder.layers.{i}.norm1.weight" in sd:
+        t = f"{prefix}transformer.decoder.layers.{i}"
+        p[f"decoder_layer_{i}"] = {
+            "self_attn": _mha(sd, f"{t}.self_attn"),
+            "multihead_attn": _mha(sd, f"{t}.multihead_attn"),
+            "linear1": _linear(sd, f"{t}.linear1"),
+            "linear2": _linear(sd, f"{t}.linear2"),
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+            "norm3": _ln(sd, f"{t}.norm3"),
+        }
+        i += 1
+    i = 0
+    while f"{prefix}transformer.encoder.layers.{i}.norm1.weight" in sd:
+        t = f"{prefix}transformer.encoder.layers.{i}"
+        p[f"encoder_layer_{i}"] = {
+            "self_attn": _mha(sd, f"{t}.self_attn"),
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "linear1": _linear(sd, f"{t}.linear1"),
+            "linear2": _linear(sd, f"{t}.linear2"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+        }
+        i += 1
+    return p
+
+
 def convert_predictor(sd: Dict[str, np.ndarray],
                       prefix: str = "sem_seg_head.predictor.") -> Dict[str, Any]:
+    if f"{prefix}transformer.decoder.norm.weight" in sd:
+        return convert_standard_predictor(sd, prefix)
     p: Dict[str, Any] = {
         "query_feat": sd[f"{prefix}query_feat.weight"],
         "level_embed": sd[f"{prefix}level_embed.weight"],

@@ -35,6 +35,7 @@ def ms_deform_attn(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
+    pallas_weighting: bool = False,
 ) -> jax.Array:
     """Functional multi-scale deformable attention (XLA).
 
@@ -53,6 +54,11 @@ def ms_deform_attn(
     offsets = np.cumsum([0] + sizes)
     out = jnp.zeros((B, Q, M, D), dtype=value.dtype)
     compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
+    # pallas weighting path: point-major taps/weights per level feed ONE
+    # batched weight_taps call per layer (n_heads=1, batch=B*M) — every XLA
+    # formulation of the post-gather reduce relayouts the taps tensor
+    # (~30-40 ms/img at 1024px, PERFORMANCE.md); the kernel streams them once
+    fused_taps, fused_w = [], []
 
     for lid, (H, W) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, int(offsets[lid]), sizes[lid], axis=1)
@@ -82,9 +88,6 @@ def ms_deform_attn(
         bx = jnp.clip(x0 + 1, 0, W).astype(jnp.int32)
         by = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)
         idx = by * (W + 1) + bx                         # (B, Q, M, P)
-        idx = jnp.swapaxes(idx, 1, 2).reshape(B, M, Q * P, 1)
-        taps = jnp.take_along_axis(
-            patch, idx, axis=2, mode="promise_in_bounds")  # (B, M, Q*P, 4D)
 
         # if the patch base is unclipped (x0 in [-1, W-1], y0 in [-1, H-1]),
         # every tap either reads a real pixel or the zero padding — exactly
@@ -100,6 +103,23 @@ def ms_deform_attn(
         # fold the per-point attention weight into the bilinear tap weights so
         # the whole reduction happens in the gather row's native layout
         tw = tw * w[..., None].astype(compute_dtype)
+
+        if pallas_weighting:
+            # point-major rows per (b, m); levels concatenated below
+            idx_pm = (idx.transpose(0, 2, 3, 1)
+                      .reshape(B * M, P * Q, 1))        # (BM, P*Q, 1)
+            taps = jnp.take_along_axis(
+                patch.reshape(B * M, (H + 1) * (W + 1), 4 * D), idx_pm,
+                axis=1, mode="promise_in_bounds")       # (BM, P*Q, 4D)
+            w_pm = (tw.transpose(0, 2, 3, 1, 4)
+                    .reshape(B * M, P * Q, 4))
+            fused_taps.append(taps)
+            fused_w.append(w_pm.astype(taps.dtype))
+            continue
+
+        idx = jnp.swapaxes(idx, 1, 2).reshape(B, M, Q * P, 1)
+        taps = jnp.take_along_axis(
+            patch, idx, axis=2, mode="promise_in_bounds")  # (B, M, Q*P, 4D)
         tw = jnp.swapaxes(tw, 1, 2).reshape(B, M, Q * P, 4).astype(taps.dtype)
 
         # weight taps elementwise in the packed (..., 4D) layout, then reduce
@@ -112,6 +132,16 @@ def ms_deform_attn(
         sampled = jnp.einsum("bmnk,kd->bmnd", wtaps, stack)
         out = out + jnp.swapaxes(
             sampled.reshape(B, M, Q, P, D).sum(axis=3), 1, 2).astype(value.dtype)
+
+    if fused_taps:
+        from .tap_weighting import weight_taps
+
+        L = len(spatial_shapes)
+        taps_all = jnp.concatenate(fused_taps, axis=1)   # (BM, L*P*Q, 4D)
+        w_all = jnp.concatenate(fused_w, axis=1)         # (BM, L*P*Q, 4)
+        sampled = weight_taps(taps_all, w_all, L * P, 1, D)  # (BM, Q, D)
+        out = out + jnp.swapaxes(
+            sampled.reshape(B, M, Q, D), 1, 2).astype(value.dtype)
 
     return out.reshape(B, Q, M * D)
 
@@ -341,9 +371,11 @@ class MSDeformAttn(nn.Module):
                 out = ms_deform_attn_pallas(value, loc, attn,
                                             tuple(spatial_shapes))
             else:
-                out = ms_deform_attn(value, spatial_shapes, loc, attn)
+                out = ms_deform_attn(value, spatial_shapes, loc, attn,
+                                     pallas_weighting=self.pallas_weighting)
         else:
-            out = ms_deform_attn(value, spatial_shapes, loc, attn)
+            out = ms_deform_attn(value, spatial_shapes, loc, attn,
+                                 pallas_weighting=self.pallas_weighting)
         return nn.Dense(self.d_model, dtype=self.dtype,
                         kernel_init=nn.initializers.xavier_uniform(),
                         name="output_proj")(out)

@@ -51,23 +51,67 @@ from jax.experimental.pallas import tpu as pltpu
 _TABLE_VMEM_BUDGET = 5_500_000
 
 
-def _kernel(idx_ref, w_ref, table_ref, o_ref, rows_ref, *,
-            blkp: int, qb: int, n_points: int, d: int, unroll: int):
-    def body(i, carry):
-        base = i * unroll
-        for k in range(unroll):
-            r = idx_ref[0, 0, base + k]
-            rows_ref[pl.ds(base + k, 1), :] = table_ref[0, pl.ds(r, 1), :]
-        return carry
+def _kernel(idx_ref, sub_ref, w_ref, table_ref, o_ref, rows_ref, *,
+            blkp: int, qb: int, n_points: int, d: int, unroll: int,
+            variant: str = "select"):
+    """Gather rows via tile loads + one-hot MXU selection.
 
-    jax.lax.fori_loop(0, blkp // unroll, body, 0)
+    Mosaic cannot prove alignment for dynamic SUBLANE offsets, so the table
+    is shaped (R/8, 8, 128): the dynamic index lands on the untiled leading
+    dim (tile-granular addresses, no alignment proof needed). Each step
+    loads `unroll` tiles (8 candidate rows each), stacks them to a
+    (8*unroll, 128) operand and selects the wanted row of every tile with a
+    one-hot (unroll, 8*unroll) matmul — the MXU does the row extraction the
+    VPU has no cheap primitive for. idx8 = row//8 (SMEM, scalar load
+    indices); sub = row%8 (VMEM, vectorized one-hot construction).
+    """
+    if variant == "mxu":
+        nsel = 8 * unroll
+        iota = jax.lax.broadcasted_iota(jnp.int32, (unroll, nsel), 1)
+        koff = jax.lax.broadcasted_iota(jnp.int32, (unroll, 1), 0) * 8
+
+        def body(i, carry):
+            base = i * unroll
+            tiles = [table_ref[0, idx_ref[0, 0, base + k] // 8]
+                     for k in range(unroll)]
+            T = jnp.concatenate(tiles, axis=0)          # (nsel, 128)
+            sub = sub_ref[0, pl.ds(base, unroll), :]    # (unroll, 1)
+            onehot = (sub + koff == iota).astype(T.dtype)
+            rows = jax.lax.dot_general(
+                onehot, T, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (unroll, 128) f32
+            rows_ref[pl.ds(base, unroll), :] = rows
+            return carry
+
+        jax.lax.fori_loop(0, blkp // unroll, body, 0)
+    else:  # "select": per point, aligned tile load + mask + sublane-reduce
+        # + masked placement — VPU-only ops Mosaic is known to lower
+        # (dynamic sublane rotates crash this backend's compile helper; the
+        # mxu variant streams 8 candidate rows per point through the
+        # contraction and floors at ~8 cycles/point).
+        sublane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+
+        def body(i, carry):
+            base = i * 8
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for k in range(8):
+                r = idx_ref[0, 0, base + k]
+                tile = table_ref[0, r // 8].astype(jnp.float32)  # (8, 128)
+                picked = jnp.where(sublane == r % 8, tile, 0.0)
+                rowvec = jnp.sum(picked, axis=0, keepdims=True)  # (1, 128)
+                acc = acc + jnp.where(sublane == k, rowvec, 0.0)
+            rows_ref[pl.ds(base, 8), :] = acc
+            return carry
+
+        # Mosaic's in-kernel fori_loop only lowers unroll=1 or full unroll
+        jax.lax.fori_loop(0, blkp // 8, body, 0,
+                          unroll=(blkp // 8) if unroll >= 16 else 1)
 
     rows = rows_ref[...]
     w = w_ref[0]
     acc = None
     for t in range(4):
-        term = (rows[:, t * d:(t + 1) * d].astype(jnp.float32)
-                * w[:, t:t + 1].astype(jnp.float32))
+        term = rows[:, t * d:(t + 1) * d] * w[:, t:t + 1].astype(jnp.float32)
         acc = term if acc is None else acc + term
     o_ref[0] = acc.reshape(n_points, qb, d).sum(axis=0).astype(o_ref.dtype)
 
@@ -88,7 +132,8 @@ def msda_pallas_supported(spatial_shapes, n_points: int, d_per_head: int,
 
 
 def _gather_weight_level(table, idx, w, Q: int, *, qb: int = 512,
-                         unroll: int = 8, interpret: bool = False):
+                         unroll: int = 16, variant: str = "select",
+                         interpret: bool = False):
     """table (G, R, 4D), idx (G, Q, P) int32 in [0, R), w (G, Q, P, 4).
     Returns (G, Q, D) = sum_p sum_t table[idx][tD:(t+1)D] * w[..., t]."""
     G, R, lanes = table.shape
@@ -100,6 +145,10 @@ def _gather_weight_level(table, idx, w, Q: int, *, qb: int = 512,
         w = jnp.pad(w, ((0, 0), (0, qpad - Q), (0, 0), (0, 0)))
     nqb = qpad // qb
     blkp = P * qb
+    r8 = -(-R // 8)
+    if r8 * 8 != R:
+        table = jnp.pad(table, ((0, 0), (0, r8 * 8 - R), (0, 0)))
+    table = table.reshape(G, r8, 8, lanes)
     # point-major within each Q block: position p*qb + q_local. The index
     # block lives in SMEM; Mosaic requires the last two block dims to be
     # divisible by (8, 128) or EQUAL to the array dims, so the per-block
@@ -111,22 +160,24 @@ def _gather_weight_level(table, idx, w, Q: int, *, qb: int = 512,
 
     out = pl.pallas_call(
         functools.partial(_kernel, blkp=blkp, qb=qb, n_points=P, d=D,
-                          unroll=unroll),
+                          unroll=unroll, variant=variant),
         grid=(G, nqb),
         in_specs=[
             pl.BlockSpec((1, 1, blkp), lambda g, j, nqb=nqb: (g * nqb + j, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blkp, 1), lambda g, j, nqb=nqb: (g * nqb + j, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blkp, 4), lambda g, j: (g, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, lanes), lambda g, j: (g, 0, 0),
+            pl.BlockSpec((1, r8, 8, lanes), lambda g, j: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, qb, D), lambda g, j: (g, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, qpad, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((blkp, lanes), table.dtype)],
+        scratch_shapes=[pltpu.VMEM((blkp, lanes), jnp.float32)],
         interpret=interpret,
-    )(idx_pm, w_pm, table)
+    )(idx_pm, idx_pm.reshape(G * nqb, blkp, 1) % 8, w_pm, table)
     return out[:, :Q]
 
 

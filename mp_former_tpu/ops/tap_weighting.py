@@ -92,14 +92,66 @@ def _weight_taps_fwd_impl(taps, w, n_points, n_heads, d):
         w = jnp.pad(w, ((0, 0), (0, 0), (0, q_pad - q), (0, 0)))
         w = w.reshape(b, n_points * q_pad, w.shape[-1])
 
-    kern = functools.partial(_kernel, n_taps=n_taps, n_heads=n_heads, d=d,
-                             n_points=n_points)
-    outs = []
-    for bi in range(b):  # tiny b at eval; grid batching via index_map closure
-        outs.append(_call_one(kern, taps[bi], w[bi], q_pad, bq, n_points,
-                              tmd, n_taps, n_heads, md, taps.dtype))
-    out = jnp.stack(outs)
+    if b == 1:
+        kern = functools.partial(_kernel, n_taps=n_taps, n_heads=n_heads,
+                                 d=d, n_points=n_points)
+        out = _call_one(kern, taps[0], w[0], q_pad, bq, n_points,
+                        tmd, n_taps, n_heads, md, taps.dtype)[None]
+    else:
+        # batched grid: one launch for all b (the packed2x2 engine batches
+        # B*M head-tables here; a python loop would pay the ~0.4 ms launch
+        # overhead b times per layer)
+        kern = functools.partial(_kernel3, n_taps=n_taps, n_heads=n_heads,
+                                 d=d, n_points=n_points)
+        out = _call_batched(kern, taps, w, b, q_pad, bq, n_points,
+                            tmd, n_taps, n_heads, md, taps.dtype)
     return out[:, :q]
+
+
+def _kernel3(taps_ref, w_ref, o_ref, acc_ref, *, n_taps: int, n_heads: int,
+             d: int, n_points: int):
+    """3D-blocked variant of _kernel: grid (b, q-blocks, points), blocks
+    carry a leading batch dim of 1."""
+    p = pl.program_id(2)
+
+    for m in range(n_heads):
+        acc = None
+        for t in range(n_taps):
+            k = t * n_heads + m
+            term = (taps_ref[0, :, k * d:(k + 1) * d].astype(jnp.float32)
+                    * w_ref[0, :, k:k + 1].astype(jnp.float32))
+            acc = term if acc is None else acc + term
+
+        @pl.when(p == 0)
+        def _init():
+            acc_ref[:, m * d:(m + 1) * d] = acc
+
+        @pl.when(p != 0)
+        def _accum():
+            acc_ref[:, m * d:(m + 1) * d] += acc
+
+    @pl.when(p == n_points - 1)
+    def _emit():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _call_batched(kern, taps, w, b, q_pad, bq, n_points, tmd, n_taps,
+                  n_heads, md, out_dtype):
+    nq = q_pad // bq
+    return pl.pallas_call(
+        kern,
+        grid=(b, nq, n_points),
+        in_specs=[
+            pl.BlockSpec((1, bq, tmd),
+                         lambda bi, qi, p, nq=nq: (bi, p * nq + qi, 0)),
+            pl.BlockSpec((1, bq, n_taps * n_heads),
+                         lambda bi, qi, p, nq=nq: (bi, p * nq + qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, md),
+                               lambda bi, qi, p: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, md), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bq, md), jnp.float32)],
+    )(taps, w)
 
 
 def _call_one(kern, taps, w, q_pad, bq, n_points, tmd, n_taps, n_heads, md,

@@ -87,3 +87,15 @@ def test_custom_vjp_backward_matches_xla():
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_packed2x2_pallas_weighting_matches_plain():
+    """The packed2x2 engine's pallas_weighting path (batched weight_taps,
+    n_heads=1, batch=B*M) must equal the plain XLA reduce. Off-TPU the
+    kernel falls back to weight_taps_reference, which pins the data layout
+    (point-major, folded bilinear*attention weights)."""
+    value, loc, attn = _rand_inputs(jax.random.PRNGKey(7), B=2, Q=53)
+    ref = ms_deform_attn(value, SHAPES, loc, attn)
+    got = ms_deform_attn(value, SHAPES, loc, attn, pallas_weighting=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

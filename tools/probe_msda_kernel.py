@@ -11,13 +11,17 @@ Usage: python tools/probe_msda_kernel.py [--size 1024] [--iters 20]
 
 import argparse
 import functools
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mp_former_tpu.ops import msda_pallas as mp
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mp_former_tpu.ops import msda_pallas as mp  # noqa: E402
 
 
 def timed(fn, *args, iters=20, warmup=3):
@@ -67,18 +71,20 @@ def main():
     t = timed(xla_level, table, idx, w, iters=args.iters)
     print(f"XLA gather+weight: {t*1e3:8.2f} ms  {t/rows_total*1e9:6.2f} ns/row")
 
-    # --- Pallas kernel across unrolls
-    for qb in (256, 512):
-        for unroll in (4, 8, 16, 32):
+    # --- Pallas kernel across variants/unrolls
+    for variant, unrolls in (("select", (8, 16)),
+                             ("mxu", (32, 64))):
+        for unroll in unrolls:
             fn = jax.jit(functools.partial(
-                mp._gather_weight_level, Q=Q, qb=qb, unroll=unroll))
+                mp._gather_weight_level, Q=Q, qb=512, unroll=unroll,
+                variant=variant))
             try:
                 t = timed(fn, table, idx, w, iters=args.iters)
-                print(f"pallas qb={qb} unroll={unroll}: {t*1e3:8.2f} ms  "
+                print(f"pallas {variant} unroll={unroll}: {t*1e3:8.2f} ms  "
                       f"{t/rows_total*1e9:6.2f} ns/row")
             except Exception as e:  # noqa: BLE001
-                print(f"pallas qb={qb} unroll={unroll}: FAIL "
-                      f"{type(e).__name__}: {str(e)[:200]}")
+                print(f"pallas {variant} unroll={unroll}: FAIL "
+                      f"{type(e).__name__}: {str(e)[:300]}")
 
     # --- correctness on chip (vs XLA) for the default config
     got = jax.jit(functools.partial(mp._gather_weight_level, Q=Q))(
