@@ -307,9 +307,13 @@ class CityscapesSemSegEvaluator:
             i_fn[tid] += w * (size - tp_px)
         has_inst = np.array(
             [l.hasInstances for l in EVAL_LABELS], bool)
-        iiou = np.where(
-            has_inst & (i_tp + fp + i_fn > 0),
-            i_tp / np.maximum(i_tp + fp + i_fn, 1), np.nan)
+        # NOTE: instance-weighted terms are FRACTIONAL — clamping the
+        # denominator to 1 (as the integer IoU path may) understates iIoU
+        # when the weighted denominator is in (0, 1); divide directly like
+        # the official script (pinned by the semseg differential fuzz)
+        i_denom = i_tp + fp + i_fn
+        iiou = np.where(has_inst & (i_denom > 0),
+                        i_tp / np.where(i_denom > 0, i_denom, 1), np.nan)
 
         # category ("_sup") aggregation
         cats = sorted({l.catId for l in EVAL_LABELS})
@@ -322,12 +326,13 @@ class CityscapesSemSegEvaluator:
             ctp += within
             cfn -= within
             cfp = conf[:n, :n][:, sel].sum() - conf[np.ix_(sel, sel)].sum()
-            iou_sup.append(ctp / max(ctp + cfp + cfn, 1)
+            iou_sup.append(ctp / (ctp + cfp + cfn)
                            if ctp + cfp + cfn > 0 else np.nan)
             if has_inst[sel].any():
                 citp = i_tp[sel].sum()
                 cifn = i_fn[sel].sum()
-                iiou_sup.append(citp / max(citp + cfp + cifn, 1))
+                cid = citp + cfp + cifn
+                iiou_sup.append(citp / cid if cid > 0 else np.nan)
         with np.errstate(invalid="ignore"):
             return {"sem_seg": {
                 "IoU": 100 * float(np.nanmean(iou)),
