@@ -237,6 +237,15 @@ def add_maskformer2_config(cfg: CN) -> None:
     cfg.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for AMP-equivalent training
     cfg.TPU.MAX_INSTANCES = 100        # static GT padding cap per image
     cfg.TPU.DN_MAX_GT = 20             # static cap for DN group size
+    # NUM_DN >= 100 budget configs recompile the step per distinct batch-max
+    # GT count; DN_GROUP_BUCKET > 1 rounds the max up to a multiple of this,
+    # bounding compiles to DN_MAX_GT/bucket programs (1 = reference-exact)
+    cfg.TPU.DN_GROUP_BUCKET = 1
+    # shard the encoder TOKEN axis over the mesh's `data` axis (SPMD): divides
+    # the per-chip deformable-gather row count (the reference-exact engine's
+    # floor) by the axis size. For B=1 serving latency on multi-chip meshes;
+    # no-op on a single device. See PERFORMANCE.md round 4.
+    cfg.TPU.SHARD_TOKENS = False
     cfg.TPU.PROFILE_DIR = ""           # capture a jax.profiler trace of steps 5-8
     cfg.TPU.MAX_PAIRS = 512            # static matched-pair budget for mask losses (0 = dense)
     cfg.TPU.POINT_SAMPLE_MODE = "grid"  # 'grid' (dense, fast) | 'random' (reference-exact points)
@@ -299,6 +308,10 @@ def add_maskformer2_config(cfg: CN) -> None:
     # Mask/dice losses stay exact (global num_masks normalization);
     # loss_ce* become the standard per-micro-mean approximation.
     cfg.TPU.GRAD_ACCUM_STEPS = 1
+    # donate train-state buffers to the jitted step (halves state HBM).
+    # False works around an axon-client abort at large buffer counts
+    # (client.rs:2008 "index out of bounds"; see PERFORMANCE.md round 4)
+    cfg.TPU.DONATE = True
     # exact Hungarian matching via a host scipy solve between a jitted cost
     # pass and the jitted grad pass (the reference's CPU hop,
     # matcher.py:84-107 under no_grad; axon rejects in-jit host callbacks).

@@ -34,7 +34,7 @@ def create_train_state(params, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def compute_dn_groups(scalar: int, valid) -> Optional[tuple]:
+def compute_dn_groups(scalar: int, valid, bucket: int = 1) -> Optional[tuple]:
     """Host-side (group count, batch max GT) for the NUM_DN >= 100
     convention: the reference treats scalar as a total-query budget, divides
     by the BATCH max GT count, and pads the DN block to groups * batch_max
@@ -42,12 +42,24 @@ def compute_dn_groups(scalar: int, valid) -> Optional[tuple]:
     budget, not groups * static-cap. Both values are static shapes under
     jit, so they must be computed on host; every distinct pair compiles a
     new step (only NUM_DN >= 100 configs pay this — the released recipe
-    uses scalar=1)."""
+    uses scalar=1).
+
+    bucket > 1 (TPU.DN_GROUP_BUCKET) rounds the batch-max up to the next
+    multiple of `bucket` before the division, bounding the number of
+    distinct compiled step programs to DN_MAX_GT/bucket instead of one per
+    distinct batch-max seen (on real COCO with B=16 that is dozens of
+    multi-minute compiles). The extra (bucketed_max - true_max) slots per
+    group carry valid=False and are already ignored by the DN losses; the
+    group COUNT can differ from the reference's when the round-up crosses
+    a divisor boundary, so bucket=1 (reference-exact) is the default."""
     if scalar < 100:
         return None
     import numpy as np
 
     m = max(int(np.asarray(valid).sum(-1).max()), 1)
+    if bucket > 1:
+        cap = int(np.asarray(valid).shape[-1])
+        m = min(-(-m // bucket) * bucket, cap)
     return max(1, scalar // m), m
 
 

@@ -114,13 +114,20 @@ class Trainer:
                 raise ValueError(
                     f"micro-batch {batch.images.shape[0]}//{accum} must be "
                     f"divisible by the mesh size {mesh_size}")
-        self.train_step = make_train_step(self.model, self.criterion, self.tx,
-                                          accum=accum)
+        # TPU.DONATE False keeps train-state buffers undonated: costs one
+        # extra state copy of HBM but works around a deterministic axon
+        # client abort ("index out of bounds" at client.rs:2008, index ==
+        # input-buffer count) seen ONLY with donation at large buffer counts
+        # (bs16@1024 accum-8; PERFORMANCE.md round 4)
+        self.train_step = make_train_step(
+            self.model, self.criterion, self.tx, accum=accum,
+            donate=bool(getattr(cfg.TPU, "DONATE", True)))
         # host-exact matching: solve the LSA with scipy on host between a
         # cost pass and the grad pass (reference's CPU hop; axon has no
         # in-jit host callbacks). ~1 extra forward per step — A/B tool for
         # bounding the on-device auction's suboptimality, not a fast path.
         self.host_exact = bool(cfg.TPU.MATCHER_HOST_EXACT)
+        self.dn_group_bucket = int(getattr(cfg.TPU, "DN_GROUP_BUCKET", 1) or 1)
         if self.host_exact:
             if jax.process_count() > 1:
                 # np.asarray on the batch-sharded cost tensor would need
@@ -200,7 +207,8 @@ class Trainer:
                 from .train_step import compute_dn_groups
 
                 dn_groups = compute_dn_groups(
-                    getattr(self.model, "scalar", 0), batch.targets.valid)
+                    getattr(self.model, "scalar", 0), batch.targets.valid,
+                    bucket=self.dn_group_bucket)
                 assignments = None
                 if self.host_exact:
                     from ..models.matcher import _lsa_host

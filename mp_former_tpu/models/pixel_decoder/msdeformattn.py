@@ -22,6 +22,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.ms_deform_attn import MSDeformAttn
+from ...parallel.mesh import maybe_constrain
 from ...utils.interp import resize_nhwc
 from ...utils.registry import PIXEL_DECODER_REGISTRY
 from ...utils.shape_spec import ShapeSpec
@@ -91,6 +92,7 @@ class _ScannedEncoderLayer(nn.Module):
     remat: bool
     remat_policy: str
     dtype: jnp.dtype
+    shard_tokens: bool = False
 
     @nn.compact
     def __call__(self, src, pos, reference_points):
@@ -107,6 +109,8 @@ class _ScannedEncoderLayer(nn.Module):
             pallas_weighting=self.pallas_weighting,
             dtype=self.dtype, name="layer",
         )(src, pos, reference_points)
+        if self.shard_tokens:
+            out = maybe_constrain(out, None, "data", None)
         return out, None
 
 
@@ -125,6 +129,7 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
     sampling_engine: str = "packed2x2"
     pallas_weighting: bool = False
     scan_layers: bool = False  # TPU.SCAN_ENCODER
+    shard_tokens: bool = False  # TPU.SHARD_TOKENS
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -148,6 +153,21 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
         ref = jnp.asarray(_reference_points(spatial_shapes))[None]  # (1, S, L, 2)
         ref = jnp.broadcast_to(ref, (src_flat.shape[0],) + ref.shape[1:])
 
+        if self.shard_tokens:
+            # SPMD over the TOKEN axis (TPU.SHARD_TOKENS): the deformable
+            # sampling is gather-ROW-bound (~7.5 ns/row, PERFORMANCE.md) and
+            # rows scale with tokens, so sharding S over the mesh's `data`
+            # axis divides the per-chip gather floor by the axis size. The
+            # per-token tensors (offsets, locations, weights, gather indices)
+            # inherit the layout; GSPMD all-gathers the ~11 MB bf16 value
+            # table per layer where spatial structure is rebuilt — ICI-cheap
+            # next to the row savings. This is the multi-chip path that makes
+            # the REFERENCE-EXACT engine fast (per-chip sampling semantics
+            # are unchanged; single-device meshes make this a no-op).
+            src_flat = maybe_constrain(src_flat, None, "data", None)
+            pos_flat = maybe_constrain(pos_flat, None, "data", None)
+            ref = maybe_constrain(ref, None, "data", None, None)
+
         if self.scan_layers:
             # one lax.scan over stacked layer params: identical math to the
             # unrolled loop (tests/test_pixel_decoder.py scan-parity), ~6x
@@ -167,7 +187,8 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
                 sampling_engine=self.sampling_engine,
                 pallas_weighting=self.pallas_weighting,
                 remat=self.remat, remat_policy=self.remat_policy,
-                dtype=self.dtype, name="encoder_scan",
+                dtype=self.dtype, shard_tokens=self.shard_tokens,
+                name="encoder_scan",
             )(src_flat.astype(self.dtype), pos_flat, ref)
             # (carry must be dtype-stable across scan iterations: the input
             # projections' GroupNorm promotes to f32 while layers emit
@@ -193,6 +214,8 @@ class MSDeformAttnTransformerEncoderOnly(nn.Module):
                 pallas_weighting=self.pallas_weighting,
                 dtype=self.dtype, name=f"encoder_layers_{i}",
             )(out, pos_flat, ref)
+            if self.shard_tokens:
+                out = maybe_constrain(out, None, "data", None)
         return out, spatial_shapes
 
 
@@ -216,6 +239,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     sampling_engine: str = "packed2x2"  # TPU.SAMPLING_ENGINE
     pallas_weighting: bool = False      # TPU.PALLAS_TAP_WEIGHTING
     scan_layers: bool = False           # TPU.SCAN_ENCODER
+    shard_tokens: bool = False          # TPU.SHARD_TOKENS
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -238,6 +262,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             sampling_engine=cfg.TPU.SAMPLING_ENGINE,
             pallas_weighting=cfg.TPU.PALLAS_TAP_WEIGHTING,
             scan_layers=cfg.TPU.SCAN_ENCODER,
+            shard_tokens=bool(getattr(cfg.TPU, "SHARD_TOKENS", False)),
             dtype=compute_dtype(cfg),
         )
 
@@ -278,6 +303,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             sampling_engine=self.sampling_engine,
             pallas_weighting=self.pallas_weighting,
             scan_layers=self.scan_layers,
+            shard_tokens=self.shard_tokens,
             dtype=self.dtype, name="transformer",
         )(srcs, pos, train=train)
 

@@ -38,6 +38,27 @@ def create_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mes
     return Mesh(arr, tuple(axes))
 
 
+def maybe_constrain(x: jax.Array, *spec) -> jax.Array:
+    """`with_sharding_constraint(x, P(*spec))` when traced under an active
+    mesh whose named axes cover every non-None entry of `spec` with size > 1;
+    identity otherwise (single device, no mesh context, or axis absent).
+
+    Lets modules annotate SPMD layouts (e.g. the token-sharded encoder,
+    TPU.SHARD_TOKENS) without threading a mesh handle through flax — the
+    ambient `jax.set_mesh` context decides whether the annotation is live."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except Exception:  # noqa: BLE001 — older/newer API drift: act as identity
+        return x
+    if m is None or getattr(m, "empty", False):
+        return x
+    shape = dict(m.shape)
+    axes = [s for s in spec if s is not None]
+    if not axes or any(shape.get(a, 1) <= 1 for a in axes):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -84,3 +84,31 @@ def test_decoder_uses_host_groups():
     # fallback without host groups: divides by the static cap (4) -> 25
     out2 = model.init_with_output(rngs, images, targets, train=True)[0]
     assert out2["dn_out"]["dn_args"]["scalar"] == 25
+
+
+def test_dn_group_bucket_bounds_compile_churn():
+    """TPU.DN_GROUP_BUCKET rounds the batch-max GT up to a bucket multiple
+    so the number of distinct (groups, max) static pairs — i.e. compiled
+    step programs — is bounded by N/bucket instead of one per distinct
+    batch-max (VERDICT round-3 weak #8)."""
+    n = 32
+
+    def valid_with_max(m):
+        v = np.zeros((2, n), bool)
+        v[0, :m] = True
+        return v
+
+    # bucket=1 is the reference-exact rule
+    assert compute_dn_groups(100, valid_with_max(7), bucket=1) == (14, 7)
+    # bucket=8: 7 -> 8, 9 -> 16, 16 -> 16
+    assert compute_dn_groups(100, valid_with_max(7), bucket=8) == (12, 8)
+    assert compute_dn_groups(100, valid_with_max(9), bucket=8) == (6, 16)
+    assert compute_dn_groups(100, valid_with_max(16), bucket=8) == (6, 16)
+    # round-up never exceeds the static GT cap (valid.shape[-1])
+    assert compute_dn_groups(100, valid_with_max(30), bucket=8) == (3, 32)
+    # distinct programs over every possible batch-max is bounded by n/bucket
+    pairs = {compute_dn_groups(100, valid_with_max(m), bucket=8)
+             for m in range(1, n + 1)}
+    assert len(pairs) == n // 8
+    # empty batch: guard stays intact
+    assert compute_dn_groups(100, np.zeros((2, n), bool), bucket=8) == (12, 8)

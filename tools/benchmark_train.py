@@ -68,7 +68,8 @@ def main():
     jax.tree.map(lambda x: x.block_until_ready(), params)
     tx = build_optimizer(cfg, params)
     state = create_train_state(params, tx)
-    step = make_train_step(model, criterion, tx, donate=False)
+    step = make_train_step(model, criterion, tx, donate=False,
+                           accum=int(cfg.TPU.GRAD_ACCUM_STEPS or 1))
 
     state, metrics = step(state, batch, jax.random.PRNGKey(3))
     float(metrics["total_loss"])  # sync (compile + first exec)
