@@ -312,6 +312,11 @@ def add_maskformer2_config(cfg: CN) -> None:
     # False works around an axon-client abort at large buffer counts
     # (client.rs:2008 "index out of bounds"; see PERFORMANCE.md round 4)
     cfg.TPU.DONATE = True
+    # compile the step as TWO programs (grad accumulation + optimizer
+    # update) instead of one: identical math, one extra dispatch. Works
+    # around the same client abort for programs that combine a huge body
+    # with full-state I/O (the bs16@1024 recipe); see PERFORMANCE.md.
+    cfg.TPU.SPLIT_STEP = False
     # exact Hungarian matching via a host scipy solve between a jitted cost
     # pass and the jitted grad pass (the reference's CPU hop,
     # matcher.py:84-107 under no_grad; axon rejects in-jit host callbacks).

@@ -64,7 +64,7 @@ def compute_dn_groups(scalar: int, valid, bucket: int = 1) -> Optional[tuple]:
 
 
 def make_train_step(model, criterion, tx, donate: bool = True,
-                    accum: int = 1):
+                    accum: int = 1, split: bool = False):
     """Returns jitted train_step(state, batch, rng, dn_groups=None,
     assignments=None) -> (state, metrics). dn_groups is static (see
     compute_dn_groups); assignments (L, B, N) comes from the host-exact
@@ -81,11 +81,31 @@ def make_train_step(model, criterion, tx, donate: bool = True,
     and are averaged across micro-batches — exact when micro-batches have
     equal no-object weight mass, the standard grad-accumulation
     approximation otherwise. Matching stays per-image, so assignments are
-    unaffected by the split."""
+    unaffected by the split.
+
+    split=True (TPU.SPLIT_STEP) compiles TWO programs — grad accumulation
+    (params in, grads out) and optimizer update (state+grads in, state
+    out) — instead of one. Identical math (pinned by
+    tests/test_grad_accum.py); one extra dispatch per step. This exists
+    because the runtime client aborts after executing a single program
+    that combines the bs16@1024-scale body with the full ~1900-buffer
+    state I/O (PERFORMANCE.md round 4): each half stays under whatever
+    the client's real limit is."""
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array,
                    dn_groups: Optional[int] = None,
                    assignments: Optional[jax.Array] = None):
+        grads, total, losses = grad_fn(
+            state.params, batch, rng, state.step, dn_groups, assignments)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"total_loss": total, **losses}
+        return TrainState(state.step + 1, new_params, new_opt), metrics
+
+    def grad_fn(params, batch: Batch, rng: jax.Array, step: jax.Array,
+                dn_groups: Optional[int] = None,
+                assignments: Optional[jax.Array] = None):
+        state = TrainState(step=step, params=params, opt_state=None)
         batch = unpack_batch_masks(batch)
         rng_dn, rng_drop, rng_loss = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
@@ -162,13 +182,35 @@ def make_train_step(model, criterion, tx, donate: bool = True,
             losses = {k: v / accum if k.startswith("loss_ce") else v
                       for k, v in loss_sums.items()}
 
+        return grads, total, losses
+
+    if not split:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                       static_argnames=("dn_groups",))
+
+    # two-program mode: grads (the heavy body, params-only I/O) and the
+    # optimizer update (full state I/O, trivial body)
+    grad_jit = jax.jit(grad_fn, donate_argnums=(1,) if donate else (),
+                       static_argnames=("dn_groups",))
+
+    def update_fn(state: TrainState, grads):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"total_loss": total, **losses}
-        return TrainState(state.step + 1, new_params, new_opt), metrics
+        return TrainState(state.step + 1, new_params, new_opt)
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
-                   static_argnames=("dn_groups",))
+    update_jit = jax.jit(update_fn,
+                         donate_argnums=(0, 1) if donate else (1,))
+
+    def split_step(state: TrainState, batch: Batch, rng: jax.Array,
+                   dn_groups: Optional[int] = None,
+                   assignments: Optional[jax.Array] = None):
+        grads, total, losses = grad_jit(
+            state.params, batch, rng, state.step,
+            dn_groups=dn_groups, assignments=assignments)
+        new_state = update_jit(state, grads)
+        return new_state, {"total_loss": total, **losses}
+
+    return split_step
 
 
 def make_cost_step(model, criterion):

@@ -108,3 +108,38 @@ def test_accum_rejects_host_exact_assignments():
     fake = jnp.zeros((4, 4, 3), jnp.int32)
     with pytest.raises(ValueError, match="GRAD_ACCUM_STEPS"):
         step(state, batch, jax.random.PRNGKey(0), assignments=fake)
+
+
+def test_split_step_matches_monolithic():
+    """TPU.SPLIT_STEP compiles grad-accumulation and optimizer update as
+    two programs; the combined result must equal the monolithic step
+    bit-for-bit (same rng derivation, same math, only the jit boundary
+    moves)."""
+    cfg = _setup(1)
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    batch = _batch(b=4)
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        batch.images, batch.targets, train=True)["params"]
+    import optax
+    tx = optax.sgd(1e-3)
+    rng = jax.random.PRNGKey(9)
+
+    for accum in (1, 2):
+        mono = make_train_step(model, criterion, tx, donate=False,
+                               accum=accum)
+        split = make_train_step(model, criterion, tx, donate=False,
+                                accum=accum, split=True)
+        s_m, m_m = mono(create_train_state(params, tx), batch, rng)
+        s_s, m_s = split(create_train_state(params, tx), batch, rng)
+        assert int(s_s.step) == int(s_m.step) == 1
+        np.testing.assert_allclose(
+            float(m_s["total_loss"]), float(m_m["total_loss"]),
+            rtol=1e-6, atol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+            s_m.params, s_s.params)

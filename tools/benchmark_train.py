@@ -69,7 +69,8 @@ def main():
     tx = build_optimizer(cfg, params)
     state = create_train_state(params, tx)
     step = make_train_step(model, criterion, tx, donate=False,
-                           accum=int(cfg.TPU.GRAD_ACCUM_STEPS or 1))
+                           accum=int(cfg.TPU.GRAD_ACCUM_STEPS or 1),
+                           split=bool(cfg.TPU.SPLIT_STEP))
 
     state, metrics = step(state, batch, jax.random.PRNGKey(3))
     float(metrics["total_loss"])  # sync (compile + first exec)
