@@ -317,6 +317,11 @@ def add_maskformer2_config(cfg: CN) -> None:
     # around the same client abort for programs that combine a huge body
     # with full-state I/O (the bs16@1024 recipe); see PERFORMANCE.md.
     cfg.TPU.SPLIT_STEP = False
+    # with GRAD_ACCUM_STEPS > 1: drive the micro-batch loop from the host
+    # (one compiled micro program invoked accum times + the update
+    # program) instead of lax.scan — each invocation stays at a program
+    # scale the runtime client sustains; identical math to the scan.
+    cfg.TPU.HOST_ACCUM = False
     # exact Hungarian matching via a host scipy solve between a jitted cost
     # pass and the jitted grad pass (the reference's CPU hop,
     # matcher.py:84-107 under no_grad; axon rejects in-jit host callbacks).

@@ -64,7 +64,8 @@ def compute_dn_groups(scalar: int, valid, bucket: int = 1) -> Optional[tuple]:
 
 
 def make_train_step(model, criterion, tx, donate: bool = True,
-                    accum: int = 1, split: bool = False):
+                    accum: int = 1, split: bool = False,
+                    host_accum: bool = False):
     """Returns jitted train_step(state, batch, rng, dn_groups=None,
     assignments=None) -> (state, metrics). dn_groups is static (see
     compute_dn_groups); assignments (L, B, N) comes from the host-exact
@@ -90,7 +91,17 @@ def make_train_step(model, criterion, tx, donate: bool = True,
     because the runtime client aborts after executing a single program
     that combines the bs16@1024-scale body with the full ~1900-buffer
     state I/O (PERFORMANCE.md round 4): each half stays under whatever
-    the client's real limit is."""
+    the client's real limit is.
+
+    host_accum=True (TPU.HOST_ACCUM, implies the split layout) goes one
+    step further for the same client bug: the micro-batch loop moves from
+    `lax.scan` to the HOST — one jitted micro-step program (fwd+bwd of
+    B/accum images + accumulate into donated grad buffers) invoked accum
+    times, then the update program. Each invocation matches the program
+    scale the runtime demonstrably sustains for thousands of steps
+    (B=8@512px); per-step cost is accum-1 extra ~30 ms dispatches.
+    Identical math to the scanned form: same rng derivation, same
+    sequential accumulation order (pinned by tests/test_grad_accum.py)."""
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array,
                    dn_groups: Optional[int] = None,
@@ -184,13 +195,8 @@ def make_train_step(model, criterion, tx, donate: bool = True,
 
         return grads, total, losses
 
-    if not split:
+    if not split and not host_accum:
         return jax.jit(train_step, donate_argnums=(0,) if donate else (),
-                       static_argnames=("dn_groups",))
-
-    # two-program mode: grads (the heavy body, params-only I/O) and the
-    # optimizer update (full state I/O, trivial body)
-    grad_jit = jax.jit(grad_fn, donate_argnums=(1,) if donate else (),
                        static_argnames=("dn_groups",))
 
     def update_fn(state: TrainState, grads):
@@ -199,7 +205,90 @@ def make_train_step(model, criterion, tx, donate: bool = True,
         return TrainState(state.step + 1, new_params, new_opt)
 
     update_jit = jax.jit(update_fn,
-                         donate_argnums=(0, 1) if donate else (1,))
+                         donate_argnums=(0, 1) if donate else ())
+
+    if host_accum and accum > 1:
+        # host-driven accumulation: one compiled micro program (plus a
+        # first-micro variant that initializes the carry), invoked accum
+        # times per step. Everything (rng derivation, strided micro
+        # slicing, num_masks, CE scaling) reproduces the scanned form
+        # exactly; k is a traced scalar so all micros share one program.
+        def _micro_eval(params, batch: Batch, rng, step, k,
+                        dn_groups: Optional[int]):
+            rng_dn, rng_drop, rng_loss = jax.random.split(
+                jax.random.fold_in(rng, step), 3)
+            rdn = jax.random.split(rng_dn, accum)[k]
+            rdrop = jax.random.split(rng_drop, accum)[k]
+            rloss = jax.random.split(rng_loss, accum)[k]
+            num_masks = jnp.maximum(
+                batch.targets.valid.sum().astype(jnp.float32), 1.0)
+            b = batch.images.shape[0]
+            # micros[k] == row slice [k::accum] == the scanned split
+            micro = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x.reshape((b // accum, accum) + x.shape[1:]), k,
+                    axis=1, keepdims=False),
+                batch)
+            micro = unpack_batch_masks(micro)
+
+            def micro_loss(params):
+                outputs = model.apply(
+                    {"params": params}, micro.images, micro.targets,
+                    train=True, dn_groups=dn_groups,
+                    rngs={"dn": rdn, "dropout": rdrop})
+                losses = criterion(outputs, micro.targets, rloss,
+                                   num_masks=num_masks)
+                scaled = {k2: v / accum if k2.startswith("loss_ce") else v
+                          for k2, v in losses.items()}
+                return criterion.weighted_total(scaled), losses
+
+            (t, losses), g = jax.value_and_grad(
+                micro_loss, has_aux=True)(params)
+            return g, t, losses
+
+        def micro_first(params, batch, rng, step, k,
+                        dn_groups: Optional[int] = None):
+            return _micro_eval(params, batch, rng, step, k, dn_groups)
+
+        def micro_next(params, carry, batch, rng, step, k,
+                       dn_groups: Optional[int] = None):
+            g, t, losses = _micro_eval(params, batch, rng, step, k,
+                                       dn_groups)
+            g_acc, t_acc, l_acc = carry
+            return (jax.tree.map(jnp.add, g_acc, g), t_acc + t,
+                    jax.tree.map(jnp.add, l_acc, losses))
+
+        first_jit = jax.jit(micro_first, static_argnames=("dn_groups",))
+        next_jit = jax.jit(micro_next, donate_argnums=(1,),
+                           static_argnames=("dn_groups",))
+
+        def host_step(state: TrainState, batch: Batch, rng: jax.Array,
+                      dn_groups: Optional[int] = None,
+                      assignments: Optional[jax.Array] = None):
+            if assignments is not None:
+                raise ValueError(
+                    "TPU.HOST_ACCUM is not supported together with "
+                    "TPU.MATCHER_HOST_EXACT (the host cost pass would "
+                    "need the same micro-batch split)")
+            carry = first_jit(state.params, batch, rng, state.step,
+                              jnp.int32(0), dn_groups=dn_groups)
+            for k in range(1, accum):
+                carry = next_jit(state.params, carry, batch, rng,
+                                 state.step, jnp.int32(k),
+                                 dn_groups=dn_groups)
+            grads, total, loss_sums = carry
+            losses = {k2: v / accum if k2.startswith("loss_ce") else v
+                      for k2, v in loss_sums.items()}
+            new_state = update_jit(state, grads)
+            return new_state, {"total_loss": total, **losses}
+
+        return host_step
+
+    # two-program mode: grads (the heavy body, params-only I/O) and the
+    # optimizer update (full state I/O, trivial body). The batch is never
+    # donated (callers may reuse it); donation applies to the update's
+    # state+grads, where it halves live state buffers.
+    grad_jit = jax.jit(grad_fn, static_argnames=("dn_groups",))
 
     def split_step(state: TrainState, batch: Batch, rng: jax.Array,
                    dn_groups: Optional[int] = None,

@@ -122,7 +122,8 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.criterion, self.tx, accum=accum,
             donate=bool(getattr(cfg.TPU, "DONATE", True)),
-            split=bool(getattr(cfg.TPU, "SPLIT_STEP", False)))
+            split=bool(getattr(cfg.TPU, "SPLIT_STEP", False)),
+            host_accum=bool(getattr(cfg.TPU, "HOST_ACCUM", False)))
         # host-exact matching: solve the LSA with scipy on host between a
         # cost pass and the grad pass (reference's CPU hop; axon has no
         # in-jit host callbacks). ~1 extra forward per step — A/B tool for

@@ -143,3 +143,38 @@ def test_split_step_matches_monolithic():
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
             s_m.params, s_s.params)
+
+
+def test_host_accum_matches_scanned_accum():
+    """TPU.HOST_ACCUM: host-driven micro loop == the lax.scan form (same
+    rng derivation, same strided split, same accumulation order)."""
+    cfg = _setup(1)
+    model = build_model(cfg)
+    criterion = build_criterion(cfg)
+    batch = _batch(b=4)
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dn": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        batch.images, batch.targets, train=True)["params"]
+    import optax
+    tx = optax.sgd(1e-3)
+    rng = jax.random.PRNGKey(9)
+    accum = 2
+
+    scan = make_train_step(model, criterion, tx, donate=False, accum=accum)
+    host = make_train_step(model, criterion, tx, donate=False, accum=accum,
+                           host_accum=True)
+    s_a, m_a = scan(create_train_state(params, tx), batch, rng)
+    s_h, m_h = host(create_train_state(params, tx), batch, rng)
+    np.testing.assert_allclose(
+        float(m_h["total_loss"]), float(m_a["total_loss"]),
+        rtol=1e-6, atol=1e-6)
+    for k in m_a:
+        np.testing.assert_allclose(
+            float(m_h[k]), float(m_a[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        s_a.params, s_h.params)

@@ -26,6 +26,13 @@ def main():
     p.add_argument("--config", default="",
                    help="optional config yaml merged over the flagship "
                         "recipe (e.g. a Swin backbone config)")
+    p.add_argument("--donate", action="store_true",
+                   help="donate train-state buffers (the Trainer default); "
+                        "safe here because the reused batch is never "
+                        "donated")
+    p.add_argument("--sync", action="store_true",
+                   help="fetch the loss every iteration (bounds dispatch "
+                        "queue depth to one in-flight step)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = p.parse_args()
 
@@ -68,9 +75,10 @@ def main():
     jax.tree.map(lambda x: x.block_until_ready(), params)
     tx = build_optimizer(cfg, params)
     state = create_train_state(params, tx)
-    step = make_train_step(model, criterion, tx, donate=False,
+    step = make_train_step(model, criterion, tx, donate=args.donate,
                            accum=int(cfg.TPU.GRAD_ACCUM_STEPS or 1),
-                           split=bool(cfg.TPU.SPLIT_STEP))
+                           split=bool(cfg.TPU.SPLIT_STEP),
+                           host_accum=bool(cfg.TPU.HOST_ACCUM))
 
     state, metrics = step(state, batch, jax.random.PRNGKey(3))
     float(metrics["total_loss"])  # sync (compile + first exec)
@@ -78,6 +86,8 @@ def main():
     t0 = time.perf_counter()
     for k in range(args.iters):
         state, metrics = step(state, batch, jax.random.PRNGKey(4 + k))
+        if args.sync:
+            float(metrics["total_loss"])
     float(metrics["total_loss"])
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
