@@ -259,7 +259,8 @@ def make_train_step(model, criterion, tx, donate: bool = True,
                     jax.tree.map(jnp.add, l_acc, losses))
 
         first_jit = jax.jit(micro_first, static_argnames=("dn_groups",))
-        next_jit = jax.jit(micro_next, donate_argnums=(1,),
+        next_jit = jax.jit(micro_next,
+                           donate_argnums=(1,) if donate else (),
                            static_argnames=("dn_groups",))
 
         def host_step(state: TrainState, batch: Batch, rng: jax.Array,
@@ -270,16 +271,28 @@ def make_train_step(model, criterion, tx, donate: bool = True,
                     "TPU.HOST_ACCUM is not supported together with "
                     "TPU.MATCHER_HOST_EXACT (the host cost pass would "
                     "need the same micro-batch split)")
+            import os
+            dbg = bool(os.environ.get("MPF_STEP_DEBUG"))
+
+            def _dbg(msg, x=None):
+                if dbg:
+                    if x is not None:
+                        jax.block_until_ready(x)
+                    print(f"[host_step] {msg}", flush=True)
+
             carry = first_jit(state.params, batch, rng, state.step,
                               jnp.int32(0), dn_groups=dn_groups)
+            _dbg("micro 0 done", carry)
             for k in range(1, accum):
                 carry = next_jit(state.params, carry, batch, rng,
                                  state.step, jnp.int32(k),
                                  dn_groups=dn_groups)
+                _dbg(f"micro {k} done", carry)
             grads, total, loss_sums = carry
             losses = {k2: v / accum if k2.startswith("loss_ce") else v
                       for k2, v in loss_sums.items()}
             new_state = update_jit(state, grads)
+            _dbg("update done", new_state.params)
             return new_state, {"total_loss": total, **losses}
 
         return host_step

@@ -77,7 +77,8 @@ def main():
                            donate=bool(int(os.environ.get("PROBE_DONATE",
                                                           "1"))),
                            accum=int(cfg.TPU.GRAD_ACCUM_STEPS or 1),
-                           split=bool(cfg.TPU.SPLIT_STEP))
+                           split=bool(cfg.TPU.SPLIT_STEP),
+                           host_accum=bool(cfg.TPU.HOST_ACCUM))
 
     keys = [jax.random.PRNGKey(100 + k) for k in range(args.iters)]
     log("prngkeys made")
@@ -91,6 +92,13 @@ def main():
             loss = float(metrics["total_loss"])
             log(f"iter {k}: loss {loss:.3f} synced "
                 f"({time.perf_counter() - t0:.2f}s)")
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                log(f"iter {k}: hbm in_use="
+                    f"{ms.get('bytes_in_use', -1) / 1e9:.2f}G peak="
+                    f"{ms.get('peak_bytes_in_use', -1) / 1e9:.2f}G")
+            except Exception:  # noqa: BLE001
+                pass
             ok += 1
         except Exception:
             log(f"iter {k}: FAILED")
