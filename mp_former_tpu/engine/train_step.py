@@ -273,21 +273,24 @@ def make_train_step(model, criterion, tx, donate: bool = True,
                     "need the same micro-batch split)")
             import os
             dbg = bool(os.environ.get("MPF_STEP_DEBUG"))
+            dbg_fetch = bool(os.environ.get("MPF_STEP_DEBUG_FETCH"))
 
-            def _dbg(msg, x=None):
+            def _dbg(msg, x=None, fetch=None):
                 if dbg:
                     if x is not None:
                         jax.block_until_ready(x)
+                    if dbg_fetch and fetch is not None:
+                        msg += f" fetch={float(fetch):.3f}"
                     print(f"[host_step] {msg}", flush=True)
 
             carry = first_jit(state.params, batch, rng, state.step,
                               jnp.int32(0), dn_groups=dn_groups)
-            _dbg("micro 0 done", carry)
+            _dbg("micro 0 done", carry, fetch=carry[1])
             for k in range(1, accum):
                 carry = next_jit(state.params, carry, batch, rng,
                                  state.step, jnp.int32(k),
                                  dn_groups=dn_groups)
-                _dbg(f"micro {k} done", carry)
+                _dbg(f"micro {k} done", carry, fetch=carry[1])
             grads, total, loss_sums = carry
             losses = {k2: v / accum if k2.startswith("loss_ce") else v
                       for k2, v in loss_sums.items()}

@@ -30,6 +30,12 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--instances", type=int, default=40)
+    p.add_argument("--gt-stride", type=int, default=1,
+                   help="build GT masks at size//stride (the train loaders "
+                        "ship 1/4-canvas masks in grid mode)")
+    p.add_argument("--uint8", action="store_true",
+                   help="ship images as uint8 (the compact-transfer "
+                        "loader layout)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = p.parse_args()
 
@@ -53,11 +59,14 @@ def main():
     criterion = build_criterion(cfg)
 
     b, s, n = args.batch, args.size, args.instances
+    ms = s // args.gt_stride
     rng = np.random.RandomState(0)
-    masks = np.zeros((b, n, s, s), bool)
-    masks[:, :10, s // 8: s // 2, s // 8: s // 2] = True
+    masks = np.zeros((b, n, ms, ms), bool)
+    masks[:, :10, ms // 8: ms // 2, ms // 8: ms // 2] = True
+    imgs = (rng.rand(b, s, s, 3) * 255)
     batch = Batch(
-        images=jnp.asarray(rng.rand(b, s, s, 3).astype(np.float32) * 255),
+        images=jnp.asarray(imgs.astype(np.uint8) if args.uint8
+                           else imgs.astype(np.float32)),
         targets=Targets(
             labels=jnp.asarray(rng.randint(0, 80, (b, n)), jnp.int32),
             masks=jnp.asarray(masks),
