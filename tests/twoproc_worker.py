@@ -11,6 +11,22 @@ import json
 import os
 import sys
 
+# spawned as `python tests/twoproc_worker.py` — python puts tests/ on
+# sys.path, not the repo root, and the parent's pytest path munging does
+# not reach a subprocess; make the import self-contained
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class CountingEvaluator:
+    """Module-level so instances survive the pickle round-trip inside
+    all_gather_objects (local classes cannot be pickled)."""
+
+    def __init__(self):
+        self.seen = []
+
+    def merge_from(self, other):
+        self.seen.extend(other.seen)
+
 
 def main():
     coord, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
@@ -52,13 +68,6 @@ def main():
 
     # 3. sharded_eval_loop: 11 records round-robin over 2 processes, grouped
     # by parity, flushed in pairs; evaluator states merged across processes.
-    class CountingEvaluator:
-        def __init__(self):
-            self.seen = []
-
-        def merge_from(self, other):
-            self.seen.extend(other.seen)
-
     ev = CountingEvaluator()
     records = [{"id": i, "parity": i % 2} for i in range(11)]
 
