@@ -87,10 +87,13 @@ def _measure_engine(overrides):
     float(a), float(b)
 
     flops = None
-    try:  # XLA's own FLOP count for the whole compiled stream program
+    try:
+        # XLA's cost analysis counts a lax.scan body ONCE regardless of
+        # trip count (verified: scan16-of-matmul reports the same flops as
+        # one matmul), so the stream program's count IS the per-image work
         ca = fwd_stream.lower(params, images).compile().cost_analysis()
         if ca and "flops" in ca:
-            flops = float(ca["flops"]) / STREAM_LEN
+            flops = float(ca["flops"])
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
         pass
 
