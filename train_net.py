@@ -119,8 +119,20 @@ def main(args):
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
         params = jax.jit(lambda k, im: model.init(
             {"params": k}, im, None, train=False))(jax.random.PRNGKey(0), dummy)
-        if cfg.MODEL.WEIGHTS:
-            params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS, params["params"])}
+        # reference --eval-only --resume restores the run's last checkpoint
+        # (DetectionCheckpointer.resume_or_load, train_net.py:378-380); with
+        # no MODEL.WEIGHTS and no --resume, refuse rather than silently
+        # evaluating a randomly initialized model
+        weights = cfg.MODEL.WEIGHTS
+        if not weights and args.resume:
+            ckpt_root = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+            if os.path.isdir(ckpt_root):
+                weights = ckpt_root
+        if not weights:
+            raise ValueError(
+                "--eval-only needs MODEL.WEIGHTS, or --resume with a "
+                f"checkpoint under {cfg.OUTPUT_DIR}/checkpoints")
+        params = {"params": load_reference_weights(weights, params["params"])}
 
         # distributed eval: batch canvases across every visible device
         # (reference evaluates rank-sharded on all GPUs, eval.sh --num-gpus 4)

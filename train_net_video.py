@@ -66,9 +66,19 @@ def main(args):
         dummy = jnp.zeros((1, t, 64, 64, 3), jnp.float32)
         params = jax.jit(lambda k, im: model.init(
             {"params": k}, im, None, train=False))(jax.random.PRNGKey(0), dummy)
-        if cfg.MODEL.WEIGHTS:
-            params = {"params": load_reference_weights(cfg.MODEL.WEIGHTS,
-                                                       params["params"])}
+        # reference --eval-only --resume restores the run's last checkpoint
+        # (DetectionCheckpointer.resume_or_load); refuse a silently random
+        # model when neither MODEL.WEIGHTS nor a resumable checkpoint exists
+        weights = cfg.MODEL.WEIGHTS
+        if not weights and args.resume:
+            ckpt_root = os.path.join(cfg.OUTPUT_DIR, "checkpoints")
+            if os.path.isdir(ckpt_root):
+                weights = ckpt_root
+        if not weights:
+            raise ValueError(
+                "--eval-only needs MODEL.WEIGHTS, or --resume with a "
+                f"checkpoint under {cfg.OUTPUT_DIR}/checkpoints")
+        params = {"params": load_reference_weights(weights, params["params"])}
         # whole-clip inference (reference video_maskformer_model.py:255-287);
         # device-sharded over the data mesh when it has >1 device
         from mp_former_tpu.parallel.mesh import create_mesh
