@@ -66,7 +66,8 @@ class Predictor:
 
     def __call__(self, image_bgr: np.ndarray) -> dict:
         from mp_former_tpu.engine.eval_loop import (postprocess_instance,
-                                                    postprocess_semantic)
+                                                    postprocess_semantic,
+                                                    semantic_before_inference)
 
         cfg = self.cfg
         h, w = image_bgr.shape[:2]
@@ -81,7 +82,8 @@ class Predictor:
                 "scores": scores, "classes": classes, "masks": bin_masks}
         if cfg.MODEL.MASK_FORMER.TEST.SEMANTIC_ON:
             res["sem_seg"] = np.asarray(postprocess_semantic(
-                logits, masks, image_size, h, w))
+                logits, masks, image_size, h, w,
+                before_inference=semantic_before_inference(cfg)))
         return res
 
 

@@ -136,10 +136,29 @@ def postprocess_instance(
             np.asarray(out.pred_masks))
 
 
-def postprocess_semantic(logits, masks, image_size, out_h, out_w):
-    """(Q, K+1), (Q, h4, w4) -> (K, out_h, out_w) probs, reference order."""
+def semantic_before_inference(cfg) -> bool:
+    """Reference from_config (maskformer_model.py:157-161): the semantic
+    crop+resize runs BEFORE semantic_inference when the flag is set OR when
+    panoptic/instance inference is also enabled."""
+    t = cfg.MODEL.MASK_FORMER.TEST
+    return bool(t.SEM_SEG_POSTPROCESSING_BEFORE_INFERENCE or t.PANOPTIC_ON
+                or t.INSTANCE_ON)
+
+
+def postprocess_semantic(logits, masks, image_size, out_h, out_w,
+                         before_inference: bool = False):
+    """(Q, K+1), (Q, h4, w4) -> (K, out_h, out_w) probs, reference order.
+
+    before_inference (reference sem_seg_postprocess_before_inference,
+    maskformer_model.py:256-266): crop+resize the per-query masks to the
+    original size and THEN run semantic_inference; default order runs the
+    einsum on the padded canvas and crops/resizes the class-prob maps."""
     canvas_h, canvas_w = masks.shape[1] * 4, masks.shape[2] * 4
     m = resize(jnp.asarray(masks), (canvas_h, canvas_w), "bilinear")
+    if before_inference:
+        m = m[:, : image_size[0], : image_size[1]]
+        m = resize(m, (out_h, out_w), "bilinear")
+        return np.asarray(semantic_inference(jnp.asarray(logits), m))
     r = semantic_inference(jnp.asarray(logits), m)
     r = r[:, : image_size[0], : image_size[1]]
     return np.asarray(resize(r, (out_h, out_w), "bilinear"))
@@ -278,7 +297,8 @@ def run_evaluation(cfg, model, params, dataset_name: str,
         if "semantic" in tasks:
             outputs["semantic"] = postprocess_semantic(
                 logits0, masks0, sample["image_size"], sample["height"],
-                sample["width"])
+                sample["width"],
+                before_inference=semantic_before_inference(cfg))
         if "panoptic" in tasks:
             outputs["panoptic"] = postprocess_panoptic(
                 logits0, masks0, sample["image_size"], sample["height"],
@@ -426,7 +446,8 @@ def inference_on_dataset(cfg, model, params, records: List[dict], evaluator,
         elif task == "semantic":
             probs = postprocess_semantic(
                 logits0, masks0, sample["image_size"], sample["height"],
-                sample["width"])
+                sample["width"],
+                before_inference=semantic_before_inference(cfg))
             gt = sem_seg_loader(rec)
             evaluator.process(probs.argmax(0), gt)
         elif task == "panoptic":

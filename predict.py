@@ -55,7 +55,8 @@ def main():
     from mp_former_tpu.data.datasets.builtin_meta import coco_panoptic_is_thing
     from mp_former_tpu.engine.eval_loop import (postprocess_instance,
                                                 postprocess_panoptic,
-                                                postprocess_semantic)
+                                                postprocess_semantic,
+                                                semantic_before_inference)
 
     pred = Predictor()
     pred.setup(args.config_file, args.weights, args.opts or [])
@@ -70,7 +71,8 @@ def main():
     cv2.imwrite(f"{args.output}_instance.png",
                 overlay_instances(img, scores, classes, bin_masks))
 
-    sem = postprocess_semantic(logits, masks, size, h, w)
+    sem = postprocess_semantic(logits, masks, size, h, w,
+                               before_inference=semantic_before_inference(cfg))
     cv2.imwrite(f"{args.output}_semantic.png", overlay_semantic(img, sem))
 
     is_thing = coco_panoptic_is_thing() if k == 133 else np.ones(k, bool)
