@@ -22,7 +22,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.ms_deform_attn import MSDeformAttn
-from ...parallel.mesh import maybe_constrain
+from ...parallel.mesh import constrain_replicated, maybe_constrain
 from ...utils.interp import resize_nhwc
 from ...utils.registry import PIXEL_DECODER_REGISTRY
 from ...utils.shape_spec import ShapeSpec
@@ -287,6 +287,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
                         kernel_init=nn.initializers.xavier_uniform(),
                         name=f"input_proj_{idx}_conv")(x)
             y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"input_proj_{idx}_gn")(y)
+            if self.shard_tokens:
+                # pin the NHWC producer replicated: the token-sharded encoder
+                # flatten otherwise back-propagates a conflicting H-tiling into
+                # this GN and GSPMD resolves it with an involuntary full
+                # rematerialization (MULTICHIP_r04 warning); the explicit pin
+                # turns the reshard into a cheap slice at the constraint
+                y = constrain_replicated(y)
             srcs.append(y)
             pe = position_embedding_sine(
                 x.shape[1], x.shape[2], self.conv_dim // 2, dtype=self.dtype)
@@ -308,6 +315,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
         )(srcs, pos, train=train)
 
         # split back into per-level maps (B, H, W, C)
+        if self.shard_tokens:
+            # one explicit all-gather of the final memory: the FPN and the
+            # decoder consume full spatial maps, and pinning here keeps GSPMD
+            # from chasing the token sharding through the per-level reshapes
+            memory = constrain_replicated(memory)
         out: List[jax.Array] = []
         start = 0
         for (h, w) in spatial_shapes:

@@ -59,6 +59,28 @@ def maybe_constrain(x: jax.Array, *spec) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def constrain_replicated(x: jax.Array) -> jax.Array:
+    """Pin `x` fully replicated when traced under an active multi-device
+    mesh; identity otherwise.
+
+    Used where a small producer feeds a sharded consumer through a
+    shape-changing op (e.g. the pixel decoder's input projections ahead of
+    the token-sharded encoder flatten): without the pin, GSPMD back-propagates
+    the consumer's sharding through the reshape, picks a conflicting tiling
+    for the producer, and resolves the mismatch with an involuntary full
+    rematerialization (replicate-then-repartition). Pinning the producer
+    replicated makes the forward reshard an explicit cheap slice."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except Exception:  # noqa: BLE001 — API drift: act as identity
+        return x
+    if m is None or getattr(m, "empty", False):
+        return x
+    if all(v <= 1 for v in dict(m.shape).values()):
+        return x
+    return jax.lax.with_sharding_constraint(x, P())
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))
