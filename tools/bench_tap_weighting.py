@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Micro-benchmark of packed2x2 tap-weighting variants at real model shapes.
+
+Round-5 profile of the ref-exact stream (PERFORMANCE.md): per image the
+weighting pipeline around the 92.5 ms gather floor costs ~30 ms —
+9.6 ms taps concat (3 levels -> one kernel input), 4.7 ms weights relayout
+(minor-dim-4 transpose), 16.4 ms kernel (only 32 of 128 lanes busy).
+This harness times the variants in isolation at the encoder layer's real
+shapes (BM=8, Q=21504, P=4, D=32) so the winner ships.
+
+Usage: python tools/bench_tap_weighting.py [--iters 20]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def timeit(fn, args, iters):
+    out = fn(*args)
+    jax_block(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax_block(out)
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+def jax_block(x):
+    import jax
+    for leaf in jax.tree.leaves(x):
+        np.asarray(leaf[..., :1])  # host fetch = true sync on this backend
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    from mp_former_tpu.ops.tap_weighting import weight_taps
+
+    BM, Q, P, D = 8, 21504, 4, 32
+    L = 3
+    rng = np.random.RandomState(0)
+    # per-level taps as the gathers emit them (BM, P*Q, 4D)
+    taps_l = [jnp.asarray(rng.rand(BM, P * Q, 4 * D).astype(np.float32),
+                          jnp.bfloat16) for _ in range(L)]
+    w_l = [jnp.asarray(rng.rand(BM, P * Q, 4).astype(np.float32),
+                       jnp.bfloat16) for _ in range(L)]
+    w_l_f32 = [w.astype(jnp.float32) for w in w_l]
+
+    # A. shipped path: concat 3 levels -> one kernel call (n_points = L*P)
+    @jax.jit
+    def var_concat(taps_l, w_l):
+        taps = jnp.concatenate(taps_l, axis=1)
+        w = jnp.concatenate(w_l, axis=1)
+        return weight_taps(taps, w, L * P, 1, D)
+
+    # B. per-level kernel calls, XLA-summed outputs (kills the 528 MB concat)
+    @jax.jit
+    def var_perlevel(taps_l, w_l):
+        outs = [weight_taps(t, w, P, 1, D) for t, w in zip(taps_l, w_l)]
+        return outs[0] + outs[1] + outs[2]
+
+    ms_a = timeit(var_concat, (taps_l, w_l), args.iters)
+    ms_b = timeit(var_perlevel, (taps_l, w_l), args.iters)
+    print(f"A concat+kernel      : {ms_a:7.2f} ms/layer  "
+          f"(x6 layers = {ms_a * 6:6.1f} ms/img)")
+    print(f"B per-level kernels  : {ms_b:7.2f} ms/layer  (x6 = {ms_b * 6:6.1f})")
+
+    # C. per-level with f32 weights (skips the producer-side astype)
+    @jax.jit
+    def var_perlevel_f32w(taps_l, w_l):
+        outs = [weight_taps(t, w, P, 1, D) for t, w in zip(taps_l, w_l)]
+        return outs[0] + outs[1] + outs[2]
+
+    ms_c = timeit(var_perlevel_f32w, (taps_l, w_l_f32), args.iters)
+    print(f"C per-level, f32 w   : {ms_c:7.2f} ms/layer  (x6 = {ms_c * 6:6.1f})")
+
+    # D. XLA reference reduction (what the kernel replaced), for context
+    from mp_former_tpu.ops.tap_weighting import weight_taps_reference
+
+    @jax.jit
+    def var_xla(taps_l, w_l):
+        taps = jnp.concatenate(taps_l, axis=1)
+        w = jnp.concatenate(w_l, axis=1)
+        return weight_taps_reference(taps, w, L * P, 1, D)
+
+    ms_d = timeit(var_xla, (taps_l, w_l), args.iters)
+    print(f"D XLA reduction      : {ms_d:7.2f} ms/layer  (x6 = {ms_d * 6:6.1f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,37 +34,59 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--out", default="/tmp/prof_fwd")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--stream", type=int, default=0,
+                    help="profile the bench-style lax.scan stream of K "
+                         "images (0 = single invocation)")
+    ap.add_argument("opts", nargs=argparse.REMAINDER, default=None,
+                    help="extra config KEY VALUE overrides")
     args = ap.parse_args()
 
     from mp_former_tpu.models import build_model
     from __graft_entry__ import _flagship_cfg
 
     cfg = _flagship_cfg()
-    cfg.merge_from_list(["TPU.COMPUTE_DTYPE", args.dtype])
+    cfg.merge_from_list(["TPU.COMPUTE_DTYPE", args.dtype]
+                        + (args.opts or []))
     model = build_model(cfg)
     rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.rand(1, args.size, args.size, 3).astype(np.float32) * 255)
     small = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = jax.jit(
         lambda k, im: model.init({"params": k}, im, None, train=False)
     )(jax.random.PRNGKey(0), small)
 
-    @jax.jit
-    def fwd(p, im):
-        out = model.apply(p, im, None, train=False)
-        return jnp.sum(out["pred_logits"]), jnp.sum(
-            out["pred_masks"][:, :, ::64, ::64])
+    if args.stream:
+        images = jnp.asarray(
+            rng.rand(args.stream, 1, args.size, args.size, 3)
+            .astype(np.float32) * 255)
+
+        @jax.jit
+        def fwd(p, ims):
+            def body(_, im):
+                out = model.apply(p, im, None, train=False)
+                return (), (jnp.sum(out["pred_logits"]),
+                            jnp.sum(out["pred_masks"][:, :, ::64, ::64]))
+            _, (a, b) = jax.lax.scan(body, (), ims)
+            return jnp.sum(a), jnp.sum(b)
+    else:
+        images = jnp.asarray(
+            rng.rand(1, args.size, args.size, 3).astype(np.float32) * 255)
+
+        @jax.jit
+        def fwd(p, im):
+            out = model.apply(p, im, None, train=False)
+            return jnp.sum(out["pred_logits"]), jnp.sum(
+                out["pred_masks"][:, :, ::64, ::64])
 
     a, b = fwd(params, images)
     float(a), float(b)
 
+    n_calls = 1 if args.stream else 3
     t0 = time.perf_counter()
     with jax.profiler.trace(args.out):
-        for _ in range(3):
+        for _ in range(n_calls):
             a, b = fwd(params, images)
             float(a), float(b)
-    wall = (time.perf_counter() - t0) / 3
+    wall = (time.perf_counter() - t0) / n_calls / max(args.stream, 1)
 
     # aggregate XLA op events from the trace
     paths = sorted(glob.glob(
@@ -93,11 +115,12 @@ def main():
         base = name.rstrip("0123456789.")
         by_name[base] += e["dur"]
 
-    print(f"wall/call: {wall * 1000:.1f} ms; "
-          f"XLA lane busy: {total / 3 / 1000:.1f} ms/call "
-          f"({len(xla_lane)} events over 3 calls)")
+    denom = n_calls * max(args.stream, 1)  # ms per image either way
+    print(f"wall/img: {wall * 1000:.1f} ms; "
+          f"XLA lane busy: {total / denom / 1000:.1f} ms/img "
+          f"({len(xla_lane)} events over {n_calls} calls)")
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"  {dur / 3 / 1000:8.2f} ms/call  {name[:100]}")
+        print(f"  {dur / denom / 1000:8.2f} ms/img  {name[:100]}")
 
 
 if __name__ == "__main__":
