@@ -54,11 +54,10 @@ def ms_deform_attn(
     offsets = np.cumsum([0] + sizes)
     out = jnp.zeros((B, Q, M, D), dtype=value.dtype)
     compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
-    # pallas weighting path: point-major taps/weights per level feed ONE
-    # batched weight_taps call per layer (n_heads=1, batch=B*M) — every XLA
+    # pallas weighting path: point-major taps/weights per (level, layer) feed
+    # a batched weight_taps call (n_heads=1, batch=B*M) — every XLA
     # formulation of the post-gather reduce relayouts the taps tensor
     # (~30-40 ms/img at 1024px, PERFORMANCE.md); the kernel streams them once
-    fused_taps, fused_w = [], []
 
     for lid, (H, W) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, int(offsets[lid]), sizes[lid], axis=1)
@@ -76,6 +75,14 @@ def ms_deform_attn(
 
         loc = sampling_locations[:, :, :, lid]  # (B, Q, M, P, 2)
         w = attention_weights[:, :, :, lid]     # (B, Q, M, P)
+        if pallas_weighting:
+            # point-major axes up front: the index/weight math below is
+            # elementwise (axis-agnostic), and with (B, M, P, Q) producers
+            # the kernel's idx/weight operands reshape for free instead of
+            # relayouting minor-dim-4 tensors (4.7 ms/img at 1024px,
+            # round-5 profile)
+            loc = loc.transpose(0, 2, 3, 1, 4)  # (B, M, P, Q, 2)
+            w = w.transpose(0, 2, 3, 1)         # (B, M, P, Q)
         # grid_sample convention: grid = 2*loc - 1; align_corners=False:
         # pixel coord = (grid+1)/2 * size - 0.5 = loc * size - 0.5
         fx = loc[..., 0].astype(compute_dtype) * W - 0.5
@@ -105,16 +112,23 @@ def ms_deform_attn(
         tw = tw * w[..., None].astype(compute_dtype)
 
         if pallas_weighting:
-            # point-major rows per (b, m); levels concatenated below
-            idx_pm = (idx.transpose(0, 2, 3, 1)
-                      .reshape(B * M, P * Q, 1))        # (BM, P*Q, 1)
+            # point-major rows per (b, m); ONE kernel call per level — the
+            # levels-concatenated form materializes a 528 MB/layer kernel
+            # input (round-5 profile: 9.6 ms/img of pad/concat) while the
+            # per-level calls read each gather output directly and the
+            # (B, Q, M*D) partial sums add for free. idx/tw are already
+            # (B, M, P, Q[, 4]) here, so these reshapes are layout-free.
+            from .tap_weighting import weight_taps
+
+            idx_pm = idx.reshape(B * M, P * Q, 1)       # (BM, P*Q, 1)
             taps = jnp.take_along_axis(
                 patch.reshape(B * M, (H + 1) * (W + 1), 4 * D), idx_pm,
                 axis=1, mode="promise_in_bounds")       # (BM, P*Q, 4D)
-            w_pm = (tw.transpose(0, 2, 3, 1, 4)
-                    .reshape(B * M, P * Q, 4))
-            fused_taps.append(taps)
-            fused_w.append(w_pm.astype(taps.dtype))
+            w_pm = tw.reshape(B * M, P * Q, 4)
+            sampled = weight_taps(taps, w_pm.astype(taps.dtype),
+                                  P, 1, D)              # (BM, Q, D)
+            out = out + jnp.swapaxes(
+                sampled.reshape(B, M, Q, D), 1, 2).astype(value.dtype)
             continue
 
         idx = jnp.swapaxes(idx, 1, 2).reshape(B, M, Q * P, 1)
@@ -132,16 +146,6 @@ def ms_deform_attn(
         sampled = jnp.einsum("bmnk,kd->bmnd", wtaps, stack)
         out = out + jnp.swapaxes(
             sampled.reshape(B, M, Q, P, D).sum(axis=3), 1, 2).astype(value.dtype)
-
-    if fused_taps:
-        from .tap_weighting import weight_taps
-
-        L = len(spatial_shapes)
-        taps_all = jnp.concatenate(fused_taps, axis=1)   # (BM, L*P*Q, 4D)
-        w_all = jnp.concatenate(fused_w, axis=1)         # (BM, L*P*Q, 4)
-        sampled = weight_taps(taps_all, w_all, L * P, 1, D)  # (BM, Q, D)
-        out = out + jnp.swapaxes(
-            sampled.reshape(B, M, Q, D), 1, 2).astype(value.dtype)
 
     return out.reshape(B, Q, M * D)
 

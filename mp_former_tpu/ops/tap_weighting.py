@@ -66,14 +66,28 @@ def weight_taps_reference(taps, w, n_points, n_heads, d):
     return wt.sum(axis=(1, 3)).reshape(b, q, n_heads * d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def weight_taps(taps, w, n_points, n_heads, d):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def weight_taps(taps, w, n_points, n_heads, d, block_q=0):
     """Pallas on TPU, XLA elsewhere. taps (B, P*Q, T*M*D) bf16/f32,
-    w (B, P*Q, T*M), returns (B, Q, M*D) in taps.dtype."""
-    return _weight_taps_fwd_impl(taps, w, n_points, n_heads, d)
+    w (B, P*Q, T*M), returns (B, Q, M*D) in taps.dtype.
+
+    block_q: q-rows per grid step (0 = auto). Bigger blocks amortize the
+    per-grid-step overhead (~1-2 us/step dominates at 1024-row blocks —
+    round-5 profile measured the kernel 4x off HBM bandwidth); the auto
+    choice picks the largest divisor-friendly block that keeps the
+    double-buffered taps + f32 accumulator within a few MB of VMEM."""
+    return _weight_taps_fwd_impl(taps, w, n_points, n_heads, d, block_q)
 
 
-def _weight_taps_fwd_impl(taps, w, n_points, n_heads, d):
+def _auto_block_q(q, tmd):
+    """Default q-block: the conservative pre-round-5 choice (Mosaic's
+    scoped-vmem accounting rejects blocks well below the naive byte budget —
+    a 7168-row taps block OOMs scoped vmem at 24.3M/16M). Call sites that
+    measured a larger block pass block_q explicitly."""
+    return 1024 if q % 1024 == 0 or q > 8192 else 512
+
+
+def _weight_taps_fwd_impl(taps, w, n_points, n_heads, d, block_q=0):
     if jax.default_backend() != "tpu":
         return weight_taps_reference(taps, w, n_points, n_heads, d)
     b, pq, tmd = taps.shape
@@ -81,7 +95,7 @@ def _weight_taps_fwd_impl(taps, w, n_points, n_heads, d):
     n_taps = tmd // (n_heads * d)
     md = n_heads * d
 
-    bq = 1024 if q % 1024 == 0 or q > 8192 else 512
+    bq = block_q or _auto_block_q(q, tmd)
     q_pad = (q + bq - 1) // bq * bq
     if q_pad != q:
         # pad each point's q-block (rows are point-major)
@@ -170,11 +184,12 @@ def _call_one(kern, taps, w, q_pad, bq, n_points, tmd, n_taps, n_heads, md,
     )(taps, w)
 
 
-def _fwd(taps, w, n_points, n_heads, d):
-    return _weight_taps_fwd_impl(taps, w, n_points, n_heads, d), (taps, w)
+def _fwd(taps, w, n_points, n_heads, d, block_q=0):
+    return _weight_taps_fwd_impl(taps, w, n_points, n_heads, d,
+                                 block_q), (taps, w)
 
 
-def _bwd(n_points, n_heads, d, res, g):
+def _bwd(n_points, n_heads, d, block_q, res, g):
     taps, w = res
     b, pq, tmd = taps.shape
     q = pq // n_points

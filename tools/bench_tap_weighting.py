@@ -88,6 +88,47 @@ def main():
     ms_c = timeit(var_perlevel_f32w, (taps_l, w_l_f32), args.iters)
     print(f"C per-level, f32 w   : {ms_c:7.2f} ms/layer  (x6 = {ms_c * 6:6.1f})")
 
+    # E. block-size sweep on the per-level form (per-grid-step overhead at
+    # 1024-row blocks measured the kernel 4x off HBM bandwidth); variants
+    # that exceed Mosaic's scoped-vmem limit are reported and skipped
+    best = None
+    for bq in (1024, 1536, 2688, 3584, 5376):
+        @jax.jit
+        def var_bq(taps_l, w_l, bq=bq):
+            outs = [weight_taps(t, w, P, 1, D, block_q=bq)
+                    for t, w in zip(taps_l, w_l)]
+            return outs[0] + outs[1] + outs[2]
+
+        try:
+            ms = timeit(var_bq, (taps_l, w_l), args.iters)
+        except Exception as e:  # noqa: BLE001 — scoped-vmem OOM etc.
+            print(f"E per-level bq={bq:5d} : FAILED "
+                  f"({type(e).__name__}: {str(e)[:80]})")
+            continue
+        print(f"E per-level bq={bq:5d} : {ms:7.2f} ms/layer  (x6 = {ms * 6:6.1f})")
+        if best is None or ms < best[1]:
+            best = (bq, ms)
+    if best:
+        print(f"best block_q: {best[0]} ({best[1]:.2f} ms/layer)")
+
+    # numerics: per-level kernel == XLA reference at the winning block
+    ref = var_xla_out = None
+    if best:
+        @jax.jit
+        def var_best(taps_l, w_l, bq=best[0]):
+            outs = [weight_taps(t, w, P, 1, D, block_q=bq)
+                    for t, w in zip(taps_l, w_l)]
+            return outs[0] + outs[1] + outs[2]
+
+        from mp_former_tpu.ops.tap_weighting import weight_taps_reference
+
+        got = np.asarray(var_best(taps_l, w_l)).astype(np.float32)
+        want = sum(np.asarray(weight_taps_reference(t, w, P, 1, D))
+                   .astype(np.float32) for t, w in zip(taps_l, w_l))
+        err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+        print(f"numerics vs XLA reference: rel err {err:.2e}")
+        assert err < 5e-2, "kernel drift at winning block size"
+
     # D. XLA reference reduction (what the kernel replaced), for context
     from mp_former_tpu.ops.tap_weighting import weight_taps_reference
 
