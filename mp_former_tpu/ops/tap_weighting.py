@@ -24,11 +24,83 @@ spends its time elsewhere; the backward of a weighting is two multiplies).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Kernel variant: "fullane" keeps the f32 accumulator in the taps' full
+# (bq, T*M*D) lane space — one full-width conversion+multiply+add per grid
+# step, weights lane-expanded by a tiny (bq, TM)@(TM, TMD) 0/1 matmul, and
+# the taps->heads reduction deferred to ONE (bq, TMD)@(TMD, MD) matmul at
+# emit. "slices" is the original formulation (per-(tap, head) d-wide VPU
+# slices — only d=32 of 128 lanes busy; round-5 profile measured it ~4x off
+# HBM speed-of-light for its reads, and the block sweep ruled out grid
+# overhead, leaving the narrow VPU ops as the cost).
+_VARIANT = os.environ.get("MPF_TAP_WEIGHTING_VARIANT", "slices")
+
+
+def _lane_expand(w32, n_tm, tmd, d):
+    """(bq, TM) weights -> (bq, TMD): lane l carries w[:, l // d]."""
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (n_tm, tmd), 1) // d
+           == jax.lax.broadcasted_iota(jnp.int32, (n_tm, tmd), 0))
+    return jax.lax.dot(w32, sel.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+
+
+def _head_reduce(acc, tmd, md):
+    """(bq, TMD) f32 -> (bq, MD): sum lanes with equal l % MD (lane order is
+    (t, m, d)-major, so t-duplicates of one (m, d) lane are MD apart)."""
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (tmd, md), 0) % md
+           == jax.lax.broadcasted_iota(jnp.int32, (tmd, md), 1))
+    return jax.lax.dot(acc, sel.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+
+
+def _kernel_fl(taps_ref, w_ref, o_ref, acc_ref, *, n_taps: int, n_heads: int,
+               d: int, n_points: int):
+    p = pl.program_id(1)
+    tm = n_taps * n_heads
+    tmd = tm * d
+    term = taps_ref[...].astype(jnp.float32) * _lane_expand(
+        w_ref[...].astype(jnp.float32), tm, tmd, d)
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[...] = term
+
+    @pl.when(p != 0)
+    def _accum():
+        acc_ref[...] += term
+
+    @pl.when(p == n_points - 1)
+    def _emit():
+        o_ref[...] = _head_reduce(acc_ref[...], tmd,
+                                  n_heads * d).astype(o_ref.dtype)
+
+
+def _kernel3_fl(taps_ref, w_ref, o_ref, acc_ref, *, n_taps: int,
+                n_heads: int, d: int, n_points: int):
+    p = pl.program_id(2)
+    tm = n_taps * n_heads
+    tmd = tm * d
+    term = taps_ref[0].astype(jnp.float32) * _lane_expand(
+        w_ref[0].astype(jnp.float32), tm, tmd, d)
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[...] = term
+
+    @pl.when(p != 0)
+    def _accum():
+        acc_ref[...] += term
+
+    @pl.when(p == n_points - 1)
+    def _emit():
+        o_ref[0] = _head_reduce(acc_ref[...], tmd,
+                                n_heads * d).astype(o_ref.dtype)
 
 
 def _kernel(taps_ref, w_ref, o_ref, acc_ref, *, n_taps: int, n_heads: int,
@@ -83,7 +155,11 @@ def _auto_block_q(q, tmd):
     """Default q-block: the conservative pre-round-5 choice (Mosaic's
     scoped-vmem accounting rejects blocks well below the naive byte budget —
     a 7168-row taps block OOMs scoped vmem at 24.3M/16M). Call sites that
-    measured a larger block pass block_q explicitly."""
+    measured a larger block pass block_q explicitly. The fullane variant's
+    accumulator lives in the full (bq, tmd) lane space, so wide-row call
+    shapes (headshare: tmd=1024) halve the block to stay in scoped VMEM."""
+    if _VARIANT == "fullane" and tmd >= 512:
+        return 512
     return 1024 if q % 1024 == 0 or q > 8192 else 512
 
 
@@ -106,19 +182,23 @@ def _weight_taps_fwd_impl(taps, w, n_points, n_heads, d, block_q=0):
         w = jnp.pad(w, ((0, 0), (0, 0), (0, q_pad - q), (0, 0)))
         w = w.reshape(b, n_points * q_pad, w.shape[-1])
 
+    fullane = _VARIANT == "fullane"
+    acc_cols = tmd if fullane else md
     if b == 1:
-        kern = functools.partial(_kernel, n_taps=n_taps, n_heads=n_heads,
+        kern = functools.partial(_kernel_fl if fullane else _kernel,
+                                 n_taps=n_taps, n_heads=n_heads,
                                  d=d, n_points=n_points)
         out = _call_one(kern, taps[0], w[0], q_pad, bq, n_points,
-                        tmd, n_taps, n_heads, md, taps.dtype)[None]
+                        tmd, n_taps, n_heads, md, taps.dtype, acc_cols)[None]
     else:
         # batched grid: one launch for all b (the packed2x2 engine batches
         # B*M head-tables here; a python loop would pay the ~0.4 ms launch
         # overhead b times per layer)
-        kern = functools.partial(_kernel3, n_taps=n_taps, n_heads=n_heads,
+        kern = functools.partial(_kernel3_fl if fullane else _kernel3,
+                                 n_taps=n_taps, n_heads=n_heads,
                                  d=d, n_points=n_points)
         out = _call_batched(kern, taps, w, b, q_pad, bq, n_points,
-                            tmd, n_taps, n_heads, md, taps.dtype)
+                            tmd, n_taps, n_heads, md, taps.dtype, acc_cols)
     return out[:, :q]
 
 
@@ -150,7 +230,7 @@ def _kernel3(taps_ref, w_ref, o_ref, acc_ref, *, n_taps: int, n_heads: int,
 
 
 def _call_batched(kern, taps, w, b, q_pad, bq, n_points, tmd, n_taps,
-                  n_heads, md, out_dtype):
+                  n_heads, md, out_dtype, acc_cols):
     nq = q_pad // bq
     return pl.pallas_call(
         kern,
@@ -164,12 +244,12 @@ def _call_batched(kern, taps, w, b, q_pad, bq, n_points, tmd, n_taps,
         out_specs=pl.BlockSpec((1, bq, md),
                                lambda bi, qi, p: (bi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, q_pad, md), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bq, md), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq, acc_cols), jnp.float32)],
     )(taps, w)
 
 
 def _call_one(kern, taps, w, q_pad, bq, n_points, tmd, n_taps, n_heads, md,
-              out_dtype):
+              out_dtype, acc_cols):
     nq = q_pad // bq
     return pl.pallas_call(
         kern,
@@ -180,7 +260,7 @@ def _call_one(kern, taps, w, q_pad, bq, n_points, tmd, n_taps, n_heads, md,
         ],
         out_specs=pl.BlockSpec((bq, md), lambda qi, p: (qi, 0)),
         out_shape=jax.ShapeDtypeStruct((q_pad, md), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bq, md), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq, acc_cols), jnp.float32)],
     )(taps, w)
 
 

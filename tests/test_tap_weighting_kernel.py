@@ -13,9 +13,10 @@ from jax.experimental import pallas as pl
 import mp_former_tpu.ops.tap_weighting as tw
 
 
-@pytest.fixture()
-def interpret_kernel(monkeypatch):
-    """Route weight_taps through the real kernel (interpret mode)."""
+@pytest.fixture(params=["fullane", "slices"])
+def interpret_kernel(monkeypatch, request):
+    """Route weight_taps through the real kernel (interpret mode),
+    once per kernel variant."""
     orig = pl.pallas_call
 
     def patched(*a, **k):
@@ -24,6 +25,7 @@ def interpret_kernel(monkeypatch):
 
     monkeypatch.setattr(tw.pl, "pallas_call", patched)
     monkeypatch.setattr(tw.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(tw, "_VARIANT", request.param)
 
 
 @pytest.mark.parametrize("b,q,n_points,n_heads,d,block_q", [
