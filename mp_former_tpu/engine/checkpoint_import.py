@@ -225,6 +225,11 @@ def convert_predictor(sd: Dict[str, np.ndarray],
     }
     if f"{prefix}label_enc.weight" in sd:
         p["label_enc"] = sd[f"{prefix}label_enc.weight"]
+    if f"{prefix}query_embed.weight" in sd:
+        # the video decoder KEEPS the learnable query positional embedding
+        # (reference video_mask2former_transformer_decoder.py:323); image
+        # MaskDN checkpoints have no such key
+        p["query_embed"] = sd[f"{prefix}query_embed.weight"]
     i = 0
     while f"{prefix}transformer_self_attention_layers.{i}.norm.weight" in sd:
         p[f"transformer_self_attention_layers_{i}"] = {

@@ -83,6 +83,39 @@ def _clip_forward(cfg, model, t_pad: int):
         lambda: make_clip_forward(cfg, t_pad), _CLIP_FWD_CACHE_MAX)
 
 
+def prep_clip(cfg, rec, max_frames: Optional[int] = None):
+    """Decode + shortest-edge-resize + mean-pad one clip record -> dict or
+    None (reference/d2 ResizeShortestEdge semantics; shared by the eval loop
+    and the e2e oracle tests so preprocessing is common to both pipelines)."""
+    pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+    t = (rec["length"] if max_frames is None
+         else min(rec["length"], max_frames))
+    h, w = rec["height"], rec["width"]
+    scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
+    if max(h, w) * scale > cfg.INPUT.MAX_SIZE_TEST:
+        scale = cfg.INPUT.MAX_SIZE_TEST / max(h, w)
+    rh, rw = int(h * scale + 0.5), int(w * scale + 0.5)
+    nh = (rh + 31) // 32 * 32
+    nw = (rw + 31) // 32 * 32
+    frames = []
+    for fi in range(t):
+        img = cv2.imread(rec["file_names"][fi], cv2.IMREAD_COLOR)
+        if img is None:
+            break
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        canvas = np.broadcast_to(
+            pixel_mean, (nh, nw, 3)).astype(np.float32).copy()
+        canvas[:rh, :rw] = cv2.resize(img, (rw, rh))
+        frames.append(canvas)
+    if len(frames) < t:
+        return None
+    t_pad = t_bucket(t)
+    frames += [frames[-1]] * (t_pad - t)
+    return {"rec": rec, "t": t, "t_pad": t_pad, "rh": rh, "rw": rw,
+            "clip": np.stack(frames).astype(np.float32),
+            "fv": np.arange(t_pad) < t}
+
+
 def inference_on_video_dataset(cfg, model, params, records: List[dict],
                                max_videos: Optional[int] = None,
                                max_frames: Optional[int] = None,
@@ -102,7 +135,6 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
 
     evaluator = YTVISEvaluator(records)
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
-    pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
 
     from ..parallel.dist import resolve_eval_mesh, sharded_eval_loop
 
@@ -117,36 +149,7 @@ def inference_on_video_dataset(cfg, model, params, records: List[dict],
         params_put = params
 
     def prep(rec):
-        """Decode + resize one clip -> dict or None."""
-        t = (rec["length"] if max_frames is None
-             else min(rec["length"], max_frames))
-        h, w = rec["height"], rec["width"]
-        # shortest-edge resize with the long-side cap, preserving aspect
-        # (reference/d2 ResizeShortestEdge) — then mean-pad to /32, like the
-        # image EvalMapper (stretching to /32 distorted aspect up to ~9%)
-        scale = cfg.INPUT.MIN_SIZE_TEST / min(h, w)
-        if max(h, w) * scale > cfg.INPUT.MAX_SIZE_TEST:
-            scale = cfg.INPUT.MAX_SIZE_TEST / max(h, w)
-        rh, rw = int(h * scale + 0.5), int(w * scale + 0.5)
-        nh = (rh + 31) // 32 * 32
-        nw = (rw + 31) // 32 * 32
-        frames = []
-        for fi in range(t):
-            img = cv2.imread(rec["file_names"][fi], cv2.IMREAD_COLOR)
-            if img is None:
-                break
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            canvas = np.broadcast_to(
-                pixel_mean, (nh, nw, 3)).astype(np.float32).copy()
-            canvas[:rh, :rw] = cv2.resize(img, (rw, rh))
-            frames.append(canvas)
-        if len(frames) < t:
-            return None
-        t_pad = t_bucket(t)
-        frames += [frames[-1]] * (t_pad - t)
-        return {"rec": rec, "t": t, "t_pad": t_pad, "rh": rh, "rw": rw,
-                "clip": np.stack(frames).astype(np.float32),
-                "fv": np.arange(t_pad) < t}
+        return prep_clip(cfg, rec, max_frames)
 
     n = 0
 
