@@ -38,8 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 # emit. "slices" is the original formulation (per-(tap, head) d-wide VPU
 # slices — only d=32 of 128 lanes busy; round-5 profile measured it ~4x off
 # HBM speed-of-light for its reads, and the block sweep ruled out grid
-# overhead, leaving the narrow VPU ops as the cost).
-_VARIANT = os.environ.get("MPF_TAP_WEIGHTING_VARIANT", "slices")
+# overhead, leaving the narrow VPU ops as the cost). "auto" (default)
+# resolves to fullane: it measured faster at BOTH call shapes on v5e
+# (tools/bench_tap_weighting.py round 5 — packed2x2 n_heads=1/tmd=128:
+# 5.75 vs 6.30 ms; headshare tmd=1024: 2.42 vs 3.24 ms/layer); "slices"
+# remains selectable for A/Bs.
+_VARIANT = os.environ.get("MPF_TAP_WEIGHTING_VARIANT", "auto")
+
+
+def _use_fullane(n_heads: int) -> bool:
+    return _VARIANT != "slices"
 
 
 def _lane_expand(w32, n_tm, tmd, d):
@@ -151,15 +159,19 @@ def weight_taps(taps, w, n_points, n_heads, d, block_q=0):
     return _weight_taps_fwd_impl(taps, w, n_points, n_heads, d, block_q)
 
 
-def _auto_block_q(q, tmd):
+def _auto_block_q(q, tmd, fullane):
     """Default q-block: the conservative pre-round-5 choice (Mosaic's
     scoped-vmem accounting rejects blocks well below the naive byte budget —
     a 7168-row taps block OOMs scoped vmem at 24.3M/16M). Call sites that
     measured a larger block pass block_q explicitly. The fullane variant's
     accumulator lives in the full (bq, tmd) lane space, so wide-row call
-    shapes (headshare: tmd=1024) halve the block to stay in scoped VMEM."""
-    if _VARIANT == "fullane" and tmd >= 512:
+    shapes (headshare: tmd=1024) halve the block to stay in scoped VMEM;
+    for the narrow ref-exact shape (tmd=128) the round-5 v5e sweep put the
+    optimum at 1536 rows on large levels."""
+    if fullane and tmd >= 512:
         return 512
+    if fullane and q > 8192:
+        return 1536
     return 1024 if q % 1024 == 0 or q > 8192 else 512
 
 
@@ -171,7 +183,8 @@ def _weight_taps_fwd_impl(taps, w, n_points, n_heads, d, block_q=0):
     n_taps = tmd // (n_heads * d)
     md = n_heads * d
 
-    bq = block_q or _auto_block_q(q, tmd)
+    fullane = _use_fullane(n_heads)
+    bq = block_q or _auto_block_q(q, tmd, fullane)
     q_pad = (q + bq - 1) // bq * bq
     if q_pad != q:
         # pad each point's q-block (rows are point-major)
@@ -182,7 +195,6 @@ def _weight_taps_fwd_impl(taps, w, n_points, n_heads, d, block_q=0):
         w = jnp.pad(w, ((0, 0), (0, 0), (0, q_pad - q), (0, 0)))
         w = w.reshape(b, n_points * q_pad, w.shape[-1])
 
-    fullane = _VARIANT == "fullane"
     acc_cols = tmd if fullane else md
     if b == 1:
         kern = functools.partial(_kernel_fl if fullane else _kernel,

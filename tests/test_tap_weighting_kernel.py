@@ -13,7 +13,7 @@ from jax.experimental import pallas as pl
 import mp_former_tpu.ops.tap_weighting as tw
 
 
-@pytest.fixture(params=["fullane", "slices"])
+@pytest.fixture(params=["fullane", "slices", "auto"])
 def interpret_kernel(monkeypatch, request):
     """Route weight_taps through the real kernel (interpret mode),
     once per kernel variant."""

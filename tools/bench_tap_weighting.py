@@ -38,9 +38,61 @@ def jax_block(x):
         np.asarray(leaf[..., :1])  # host fetch = true sync on this backend
 
 
+def bench_headshare(args):
+    """The head-shared engine's single fused call: B=1, n_points=L*P=12,
+    Q=21504, rows 4*M*D=1024 wide (set MPF_TAP_WEIGHTING_VARIANT to pick the
+    kernel; block sweep finds the per-variant optimum)."""
+    import jax.numpy as jnp
+
+    from mp_former_tpu.ops.tap_weighting import (weight_taps,
+                                                 weight_taps_reference)
+
+    B, Q, LP, M, D = 1, 21504, 12, 8, 32
+    rng = np.random.RandomState(0)
+    taps = jnp.asarray(rng.rand(B, LP * Q, 4 * M * D).astype(np.float32),
+                       jnp.bfloat16)
+    w = jnp.asarray(rng.rand(B, LP * Q, 4 * M).astype(np.float32),
+                    jnp.bfloat16)
+
+    import jax
+
+    best = None
+    for bq in (0, 256, 512, 1024, 1536):
+        @jax.jit
+        def var_bq(taps, w, bq=bq):
+            return weight_taps(taps, w, LP, M, D, block_q=bq)
+
+        try:
+            ms = timeit(var_bq, (taps, w), args.iters)
+        except Exception as e:  # noqa: BLE001 — scoped-vmem OOM etc.
+            print(f"headshare bq={bq:5d} : FAILED "
+                  f"({type(e).__name__}: {str(e)[:80]})")
+            continue
+        print(f"headshare bq={bq:5d} : {ms:7.2f} ms/layer  "
+              f"(x6 = {ms * 6:6.1f} ms/img)")
+        if best is None or ms < best[1]:
+            best = (bq, ms)
+    if best:
+        @jax.jit
+        def var_best(taps, w, bq=best[0]):
+            return weight_taps(taps, w, LP, M, D, block_q=bq)
+
+        got = np.asarray(var_best(taps, w)).astype(np.float32)
+        want = np.asarray(weight_taps_reference(
+            taps, w, LP, M, D)).astype(np.float32)
+        err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+        print(f"best bq {best[0]} ({best[1]:.2f} ms); "
+              f"numerics vs XLA reference: rel err {err:.2e}")
+        assert err < 5e-2, "kernel drift at winning block size"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--headshare", action="store_true",
+                   help="bench the head-shared call shape instead "
+                        "(B=1, n_heads=8, tmd=1024, one call for all "
+                        "levels x points)")
     args = p.parse_args()
 
     import jax
@@ -49,6 +101,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     from mp_former_tpu.ops.tap_weighting import weight_taps
+
+    if args.headshare:
+        return bench_headshare(args)
 
     BM, Q, P, D = 8, 21504, 4, 32
     L = 3
