@@ -180,12 +180,19 @@ def ms_deform_attn_headshare(
     offsets = np.cumsum([0] + sizes)
     out = jnp.zeros((B, Q, M, D), dtype=value.dtype)
     compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
-    # pallas path: per-level taps/weights are concatenated point-major and
-    # reduced by ONE kernel call per layer — the grid-step accumulator
-    # absorbs the level sum. (Concatenating the patch TABLES into a single
-    # gather as well was measured SLOWER: 16.3 vs 18.5 img/s at 1024px —
-    # the 44 MB table concat is a real copy, while gather outputs feeding a
-    # concat fuse into slice-writes.)
+    # pallas path: per-(level, layer) weight_taps calls — the gather outputs
+    # feed the kernel directly and the (B, Q, M, D) partial sums add for
+    # free. The levels-fused single call per layer (grid-step accumulator
+    # absorbing the level sum) concatenates ~534 MB/layer of taps first; the
+    # round-2 A/B preferred it under the slices kernel's 0.4 ms launch
+    # overhead, but with the fullane kernel the per-level form measures
+    # faster end-to-end (round-5 on-chip A/B) — matching the packed2x2
+    # engine's round-5 result. MPF_HEADSHARE_FUSED_LEVELS=1 restores the
+    # fused form for A/Bs. (Concatenating the patch TABLES into a single
+    # gather was measured slower still: the 44 MB table concat is a real
+    # copy.)
+    import os as _os
+    fuse_levels = _os.environ.get("MPF_HEADSHARE_FUSED_LEVELS", "0") == "1"
     fused_taps, fused_w = [], []
 
     for lid, (H, W) in enumerate(spatial_shapes):
@@ -224,8 +231,14 @@ def ms_deform_attn_headshare(
             taps = jnp.take_along_axis(
                 patch, idx_pm, axis=1, mode="promise_in_bounds")  # (B, P*Q, 4MD)
             w_pm = jnp.swapaxes(full, 1, 2).reshape(B, P * Q, 4 * M)
-            fused_taps.append(taps)
-            fused_w.append(w_pm.astype(taps.dtype))
+            if fuse_levels:
+                fused_taps.append(taps)
+                fused_w.append(w_pm.astype(taps.dtype))
+            else:
+                from .tap_weighting import weight_taps
+
+                sampled = weight_taps(taps, w_pm.astype(taps.dtype), P, M, D)
+                out = out + sampled.reshape(B, Q, M, D).astype(value.dtype)
         else:
             taps = jnp.take_along_axis(
                 patch, idx.reshape(B, Q * P, 1), axis=1,
